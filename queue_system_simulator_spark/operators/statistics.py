@@ -1,0 +1,168 @@
+"""Aggregation layer (SURVEY §2 F: G1–G6).
+
+Reproduces ``calculate_simulation_statistics``
+(``/root/reference/src/statistics.py:77-154``) relationally:
+
+* conditional processed/rejected counts (G1, ``statistics.py:104-108``)
+* mean queuing time, NaN on empty (G2, ``statistics.py:112-118``)
+* EXACT percentiles with linear interpolation — numpy's default — via
+  Spark's exact ``percentile`` aggregate, never ``approx_percentile``
+  (G3, ``statistics.py:46-72``)
+* per-API usage counts zero-filled against the configured API domain
+  (G4, ``statistics.py:126-141``)
+* per-class enqueue totals derived relationally instead of carried counters
+  (G5, ``queue_manager.py:121-123``)
+
+Scale notes: the one-row scalar stats are a single full aggregate — Spark
+computes partial aggregates map-side and merges; the exact percentile is the
+only operator that must see all values of a group on one task.  Per-group
+(run_id/user) percentiles shard naturally; a single global exact percentile
+over 100 TB is the documented escape hatch to ``approx_percentile`` (never in
+oracle-checked queries).  The API-domain zero-fill joins against a tiny
+in-memory dimension — always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.operators.transforms import (
+    REJECTED_SENTINEL,
+    valid_queuing_rows,
+    with_queuing_time,
+)
+
+#: Reference config defaults (``/root/reference/config/settings.py:2,5``).
+NUM_EXTERNAL_APIS = 5
+EXTERNAL_API_RPM_LIMIT = 60
+
+PERCENTILES = (0.5, 0.75, 0.9, 0.99)
+
+
+def queuing_time_stats(
+    df: DataFrame, group_cols: list[str] | None = None, nan_on_empty: bool = True
+) -> DataFrame:
+    """G1+G2+G3 over a sim-result frame.
+
+    Input needs ``arrival_time_in_queue / start_processing_time_by_worker /
+    finish_processing_time_by_worker``.  The queuing-time aggregates apply the
+    C2 validity predicate to processed rows only; the counts do not
+    (reference semantics, ``statistics.py:28-42,104-121``).
+    """
+    fin = F.col("finish_processing_time_by_worker")
+    is_proc = fin != REJECTED_SENTINEL
+    start = F.col("start_processing_time_by_worker")
+    arr = F.col("arrival_time_in_queue")
+    valid = is_proc & (start >= 0) & (arr >= 0) & (start >= arr)
+    qt = F.when(valid, start - arr)  # null outside the valid set → ignored by aggs
+
+    aggs = [
+        F.sum(F.when(is_proc, 1).otherwise(0)).cast("long").alias("processed"),
+        F.sum(F.when(~is_proc, 1).otherwise(0)).cast("long").alias("rejected"),
+        F.avg(qt).alias("avg_queuing_time"),
+        F.expr(
+            "percentile(IF(finish_processing_time_by_worker != -1.0 "
+            "AND start_processing_time_by_worker >= 0 "
+            "AND arrival_time_in_queue >= 0 "
+            "AND start_processing_time_by_worker >= arrival_time_in_queue, "
+            "start_processing_time_by_worker - arrival_time_in_queue, NULL), "
+            "array(0.5D, 0.75D, 0.9D, 0.99D))"
+        ).alias("pcts"),
+    ]
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    out = grouped.agg(*aggs)
+    p = F.col("pcts")
+    out = out.select(
+        *(group_cols or []),
+        "processed",
+        "rejected",
+        "avg_queuing_time",
+        p[0].alias("p50"),
+        p[1].alias("p75"),
+        p[2].alias("p90"),
+        p[3].alias("p99"),
+    )
+    if nan_on_empty:
+        # reference renders NaN for empty inputs (statistics.py:64,118-121)
+        nan = F.lit(float("nan"))
+        for c in ("avg_queuing_time", "p50", "p75", "p90", "p99"):
+            out = out.withColumn(c, F.coalesce(F.col(c), nan))
+    return out
+
+
+def api_usage_counts(
+    df: DataFrame,
+    spark: SparkSession,
+    num_apis: int = NUM_EXTERNAL_APIS,
+    api_col: str = "used_api_id",
+) -> DataFrame:
+    """G4: per-API usage counts zero-filled against the configured domain.
+
+    Reference: init ``api_1..api_N → 0``, count over *processed* rows,
+    skip null, warn+skip out-of-range (``statistics.py:126-141``).  Engine:
+    count → right-outer join onto ``spark.range(1, N+1)`` (broadcast — the
+    dimension is tiny), ``coalesce(count, 0)``.
+    """
+    counts = (
+        df.filter(F.col("finish_processing_time_by_worker") != REJECTED_SENTINEL)
+        .filter(F.col(api_col).isNotNull())
+        .filter(F.col(api_col).between(1, num_apis))
+        .groupBy(F.col(api_col).cast("int").alias("api_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dim = spark.range(1, num_apis + 1).select(F.col("id").cast("int").alias("api_id"))
+    return (
+        F.broadcast(dim)
+        .join(counts, "api_id", "left")
+        .select(
+            "api_id",
+            F.concat(F.lit("api_"), F.col("api_id")).alias("api_key"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("usage_count"),
+        )
+    )
+
+
+def enqueue_totals(df: DataFrame, threshold: float = 20.0) -> DataFrame:
+    """G5: per-class enqueue totals, derived relationally over admitted rows
+    (reference carries mutable counters, ``queue_manager.py:121-123,140-154``;
+    the relational equivalent is a conditional count over rows that actually
+    entered a queue, i.e. all non-rejected rows — rejection happens *before*
+    enqueue, ``simulator.py:213-215``)."""
+    admitted = F.col("finish_processing_time_by_worker") != REJECTED_SENTINEL
+    prio = F.col("processing_time") < threshold
+    return df.select(
+        F.sum(F.when(admitted & prio, 1).otherwise(0))
+        .cast("long")
+        .alias("priority_queue_enqueued_total"),
+        F.sum(F.when(admitted & ~prio, 1).otherwise(0))
+        .cast("long")
+        .alias("normal_queue_enqueued_total"),
+    )
+
+
+def simulation_statistics(
+    df: DataFrame, spark: SparkSession, num_apis: int = NUM_EXTERNAL_APIS
+) -> tuple[DataFrame, DataFrame]:
+    """The full G1–G5 bundle: (one-row scalar stats, long-format api counts).
+
+    Long-format API counts instead of the reference's nested dict — map-shaped
+    output is hostile to SQL oracles (SURVEY §1.2).
+    """
+    scalar = queuing_time_stats(df)
+    totals = enqueue_totals(df)
+    scalar = scalar.crossJoin(totals)
+    return scalar, api_usage_counts(df, spark, num_apis)
+
+
+__all__ = [
+    "NUM_EXTERNAL_APIS",
+    "EXTERNAL_API_RPM_LIMIT",
+    "PERCENTILES",
+    "queuing_time_stats",
+    "api_usage_counts",
+    "enqueue_totals",
+    "simulation_statistics",
+    "with_queuing_time",
+    "valid_queuing_rows",
+]

@@ -1,0 +1,120 @@
+"""Derived-column, filter, and sort operators (SURVEY §2 B/C/D).
+
+All are pure Column expressions / DataFrame transforms — JVM-side, inside
+whole-stage codegen, pushdown-friendly.  Each cites the reference behavior it
+reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Priority-queue routing threshold and bias
+#: (``/root/reference/src/queue_manager.py:105,118``).
+PRIORITY_THRESHOLD_SECONDS = 20.0
+PRIORITY_BIAS = 0.8
+
+#: Rejection sentinel (``/root/reference/src/simulator.py:214``).
+REJECTED_SENTINEL = -1.0
+
+
+def epoch_seconds(ts: Column | str) -> Column:
+    """Timestamp → fractional epoch seconds as DOUBLE.
+
+    ``unix_timestamp`` truncates sub-second precision; a double cast keeps the
+    microseconds (SURVEY §2 B1 note).
+    """
+    return F.col(ts).cast("double") if isinstance(ts, str) else ts.cast("double")
+
+
+def with_sim_arrival_time(
+    df: DataFrame, epoch: str, ts_col: str = "request_time"
+) -> DataFrame:
+    """B1: relative arrival seconds vs a fixed epoch.
+
+    Reference: ``(request_time − SIMULATION_START_TIME).total_seconds()``
+    (``/root/reference/main.py:13,51-65``).
+    """
+    return df.withColumn(
+        "sim_arrival_time",
+        epoch_seconds(F.col(ts_col)) - F.lit(epoch).cast("timestamp").cast("double"),
+    )
+
+
+def negative_arrival_count(df: DataFrame) -> DataFrame:
+    """B3: rows whose request_time precedes the epoch (reference logs a
+    warning per row, ``/root/reference/main.py:54-60``)."""
+    return df.select(
+        F.sum(F.when(F.col("sim_arrival_time") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_arrival_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+def with_queuing_time(df: DataFrame) -> DataFrame:
+    """B2: ``queuing_time = start − arrival-in-queue``
+    (``/root/reference/src/statistics.py:34-36``)."""
+    return df.withColumn(
+        "queuing_time",
+        F.col("start_processing_time_by_worker") - F.col("arrival_time_in_queue"),
+    )
+
+
+def priority_class(
+    proc: Column | str, threshold: float = PRIORITY_THRESHOLD_SECONDS
+) -> Column:
+    """B5: two-class routing — ``processing_time < threshold`` → priority,
+    else (including null / non-numeric) normal
+    (``/root/reference/src/queue_manager.py:105,137-155``)."""
+    c = F.col(proc) if isinstance(proc, str) else proc
+    return F.when(c < F.lit(threshold), F.lit("priority")).otherwise(F.lit("normal"))
+
+
+def with_priority_class(
+    df: DataFrame,
+    proc_col: str = "processing_time",
+    threshold: float = PRIORITY_THRESHOLD_SECONDS,
+) -> DataFrame:
+    return df.withColumn("queue_class", priority_class(proc_col, threshold))
+
+
+def hms(seconds: Column | str) -> Column:
+    """B4: seconds → ``HH:MM:SS`` display string
+    (``/root/reference/src/simulator.py:111-114``)."""
+    s = F.col(seconds) if isinstance(seconds, str) else seconds
+    total = F.floor(s).cast("long")
+    return F.format_string(
+        "%02d:%02d:%02d",
+        (total / 3600).cast("long"),
+        ((total % 3600) / 60).cast("long"),
+        (total % 60).cast("long"),
+    )
+
+
+def split_processed_rejected(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """C1: partition completed rows into processed vs rejected on the −1
+    sentinel (``/root/reference/src/statistics.py:104-105``)."""
+    fin = F.col("finish_processing_time_by_worker")
+    return df.filter(fin != REJECTED_SENTINEL), df.filter(fin == REJECTED_SENTINEL)
+
+
+def valid_queuing_rows(df: DataFrame) -> DataFrame:
+    """C2: the silent-drop predicate for queuing-time statistics — keep rows
+    with ``start ≥ 0 ∧ arrival ≥ 0 ∧ start ≥ arrival``
+    (``/root/reference/src/statistics.py:28-42``).  The drop changes the
+    mean/percentile denominators but NOT processed counts — callers must
+    apply it only to the queuing-time aggregate inputs."""
+    start = F.col("start_processing_time_by_worker")
+    arr = F.col("arrival_time_in_queue")
+    return df.filter((start >= 0) & (arr >= 0) & (start >= arr))
+
+
+def result_order(df: DataFrame) -> DataFrame:
+    """D2: result ordering with sentinel-last — rejected rows (finish = −1)
+    sort as +inf, ties broken by arrival time
+    (``/root/reference/src/simulator.py:260-265``)."""
+    fin = F.col("finish_processing_time_by_worker")
+    sort_key = F.when(fin == REJECTED_SENTINEL, F.lit(float("inf"))).otherwise(fin)
+    return df.orderBy(sort_key, F.col("arrival_time_in_queue"))

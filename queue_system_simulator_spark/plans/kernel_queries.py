@@ -1,0 +1,114 @@
+"""Queries exercising the DES kernel (SURVEY §2 E) through
+``groupBy().applyInPandas``.
+
+``kernel_fifo_k1`` is the oracle bridge: the kernel run in FIFO/k=1 mode is
+checked bit-for-bit against the closed-form window SQL (the E1 special
+case), so at least one full kernel path is DuckDB-verified — the
+reference-faithful priority/limiter path is covered by seeded golden tests
+(tests/test_kernel.py) and a rows-only driver check.
+
+Exactness: the kernel is fed *integer microseconds represented as doubles*
+(exact up to 2^53 ≫ any timestamp here), so its Python arithmetic
+(max/add/subtract) is exact and matches the closed form's integer math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.operators.fifo import fifo_k1_timeline_sql
+from queue_system_simulator_spark.operators.kernel import SimParams, simulate
+from queue_system_simulator_spark.plans.registry import register
+from queue_system_simulator_spark.schema import load_table
+
+_KERNEL_FIFO_ORACLE = f"""
+SELECT group_id AS user_id, seq, arrival_s, start_s, finish_s, queuing_s
+FROM ({fifo_k1_timeline_sql("SELECT * FROM events")})
+"""
+
+
+def _events_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_id").alias("seq"),
+        F.unix_micros("ts").cast("double").alias("sim_arrival_time"),
+        (F.round(F.col("value") * 100).cast("long") * 10_000)
+        .cast("double")
+        .alias("processing_time"),
+    )
+
+
+@register(
+    "kernel_fifo_k1",
+    oracle=_KERNEL_FIFO_ORACLE,
+    description="The DES kernel (applyInPandas, one group per user) in "
+    "FIFO/k=1 mode, verified bit-for-bit against the closed-form window "
+    "recurrence — the kernel↔SQL oracle bridge (SURVEY §7 step 4 cross-check B).",
+)
+def q_kernel_fifo_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_micro(spark, sf_dir)
+    params = SimParams(num_workers=1, queue_mode="fifo", queue_max_size=None)
+    res = simulate(df, params, group_cols=["user_id"])
+    m = 1_000_000
+    return res.select(
+        "user_id",
+        "seq",
+        (F.col("sim_arrival_time") / m).alias("arrival_s"),
+        (F.col("start_processing_time_by_worker") / m).alias("start_s"),
+        (F.col("finish_processing_time_by_worker") / m).alias("finish_s"),
+        (
+            (
+                F.col("start_processing_time_by_worker")
+                - F.col("arrival_time_in_queue")
+            )
+            / m
+        ).alias("queuing_s"),
+    )
+
+
+@register(
+    "kernel_priority_sim",
+    oracle=None,  # RNG-coupled priority dequeue + limiter feedback: not
+    # SQL-expressible; covered by seeded golden tests instead
+    description="Full reference semantics: priority two-class queue "
+    "(threshold 20 s, bias 0.8, seeded RNG), k=4 workers, 5 APIs × 60 RPM "
+    "sliding-window limiter with round-robin fallback — one independent "
+    "simulation per user-shard group (scenario-sweep parallelism).",
+)
+def q_kernel_priority_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        (F.col("user_id") % 8).alias("run_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_id").alias("seq"),
+        ((F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) / 1_000_000).alias(
+            "sim_arrival_time"
+        ),
+        F.col("value").alias("processing_time"),
+    )
+    params = SimParams(
+        num_workers=4,
+        queue_mode="priority",
+        priority_threshold_seconds=20.0,
+        priority_bias=0.8,
+        num_apis=5,
+        rpm_limit=60,
+        seed=42,
+    )
+    res = simulate(df, params, group_cols=["run_id"])
+    return res.select(
+        "run_id",
+        "seq",
+        "user_id",
+        "sim_arrival_time",
+        "processing_time",
+        "arrival_time_in_queue",
+        "start_processing_time_by_worker",
+        "finish_processing_time_by_worker",
+        "used_api_id",
+        "status",
+        "priority_enqueued_total",
+        "normal_enqueued_total",
+    )

@@ -1,0 +1,535 @@
+"""LLM-training-data pipeline operators over ``documents`` / ``embeddings``
+(BASELINE.json north star: dedup, similarity search, text analysis at
+100 TB scale).
+
+Parity conventions: tokenization is a plain single-space split (the corpus
+is normalized word-soup); hashes are md5 hex (identical in Spark and
+DuckDB); embedding math is done in double precision with results rounded to
+6 decimals (the one place the two engines' summation order differs — error
+~1e-15 against a 1e-6 grid).
+
+Scale notes per query in each docstring; the common theme: shingle/minhash
+fan-out is bounded per document, candidate generation is join-on-bucket
+(never all-pairs), and all-pairs steps are explicitly restricted to a
+partition key (source / label / LSH band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.plans.registry import register
+from queue_system_simulator_spark.schema import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+NUM_MINHASH = 16
+BAND_SIZE = 4
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    description="Exact deduplication: hash-groupBy on content, keep the "
+    "lowest doc_id per hash. One shuffle on the hash; at 100 TB, hash first "
+    "so the shuffle carries 32-byte keys instead of documents.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                                x -> length(x)), 'sum') AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_token_len,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN {_STOP_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stopword_ratio
+FROM documents
+""",
+    description="Quality scoring: per-document char/token counts, mean "
+    "token length, stopword ratio — all JVM-side higher-order array "
+    "functions, no UDFs, fully pushdown-friendly.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n.cast("long").alias("n_tokens"),
+        F.round(sum_len.cast("double") / n, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish_tokens
+FROM documents
+""",
+    description="Token counting with a BPE-ish regex (letter runs, digit "
+    "runs, single symbols) — regexp_extract_all stays in the JVM.",
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_ish_tokens"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _marker_count_sql(words: tuple[str, ...]) -> str:
+    lst = "('" + "','".join(words) + "')"
+    return f"len(list_filter(string_split(text, ' '), x -> x IN {lst}))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+SELECT doc_id,
+       {_marker_count_sql(_LANG_MARKERS['en'])} AS score_en,
+       {_marker_count_sql(_LANG_MARKERS['de'])} AS score_de,
+       {_marker_count_sql(_LANG_MARKERS['es'])} AS score_es,
+       {_marker_count_sql(_LANG_MARKERS['fr'])} AS score_fr,
+       {_marker_count_sql(_LANG_MARKERS['zh'])} AS score_zh,
+       CASE greatest({_marker_count_sql(_LANG_MARKERS['en'])},
+                     {_marker_count_sql(_LANG_MARKERS['de'])},
+                     {_marker_count_sql(_LANG_MARKERS['es'])},
+                     {_marker_count_sql(_LANG_MARKERS['fr'])},
+                     {_marker_count_sql(_LANG_MARKERS['zh'])})
+            WHEN {_marker_count_sql(_LANG_MARKERS['en'])} THEN 'en'
+            WHEN {_marker_count_sql(_LANG_MARKERS['de'])} THEN 'de'
+            WHEN {_marker_count_sql(_LANG_MARKERS['es'])} THEN 'es'
+            WHEN {_marker_count_sql(_LANG_MARKERS['fr'])} THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM documents
+""",
+    description="Language ID via marker-word counts (n-gram-heuristic "
+    "family); argmax with deterministic first-match tie-break en>de>es>fr>zh.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
+
+    scores = {lang: score(w) for lang, w in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+        scores["zh"].alias("score_zh"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS head_fingerprint,
+       md5(text) AS full_fingerprint
+FROM documents
+""",
+    description="Document fingerprinting: content hash + prefix (first-8-"
+    "token) hash for fast candidate blocking.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("head_fingerprint"),
+        F.md5("text").alias("full_fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingle-based near-dup (n-gram Jaccard + MinHash/LSH)
+# --------------------------------------------------------------------------
+_SHINGLES_SQL = """
+SELECT DISTINCT doc_id, source, shingle
+FROM (
+  SELECT d.doc_id, d.source,
+         t.tokens[i] || ' ' || t.tokens[i+1] || ' ' || t.tokens[i+2] AS shingle
+  FROM documents d,
+       LATERAL (SELECT string_split(d.text, ' ') AS tokens) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t.tokens) - 2, 0))) AS i) s
+) x
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram word shingles per document (Spark side).
+
+    ``transform(sequence(...))`` builds the shingle array JVM-side; explode +
+    distinct.  Fan-out is O(tokens) per doc — bounded, shuffle-safe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1), ' ', "
+        "element_at(split(text, ' '), i + 2)))"
+    )
+    return (
+        docs.select("doc_id", "source", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.05
+""",
+    description="N-gram Jaccard near-dup: shingle inverted-index self-join "
+    "restricted to a blocking key (source) — candidate generation is "
+    "join-on-shingle, never all-pairs. Integer set sizes → exact.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6),
+        )
+        .filter(F.col("n_inter").cast("double") / F.col("n_union") >= 0.05)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+
+
+_MINHASH_SQL = f"""
+SELECT sh.doc_id, s.seed,
+       min(md5(CAST(s.seed AS VARCHAR) || '|' || sh.shingle)) AS minhash
+FROM ({_SHINGLES_SQL}) sh,
+     LATERAL (SELECT unnest(generate_series(0, {NUM_MINHASH - 1})) AS seed) s
+GROUP BY sh.doc_id, s.seed
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=_MINHASH_SQL,
+    description="MinHash signatures (16 permutations simulated as "
+    "md5(seed || shingle), min per seed — deterministic across engines). "
+    "Long format (doc_id, seed, minhash). Shuffle: one groupBy on "
+    "(doc_id, seed); fan-out 16× shingles, still O(doc length).",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASH - 1))).alias("seed")
+    exploded = sh.select("doc_id", "shingle", seeds)
+    return (
+        exploded.select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), "shingle")).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
+       round(CAST(n_match AS DOUBLE) / {NUM_MINHASH}, 6) AS jaccard_est
+FROM est
+""",
+    description="MinHash-LSH near-dup candidates: band signatures (4 bands "
+    "× 4 rows), bucket-join on (band, band_key) — the scalable path: "
+    "candidate pairs only where a band collides, never all-pairs.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_minhash_signatures(spark, sf_dir).cache()
+    bands = (
+        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("seed").alias("seed_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("seed") == F.col("seed_b")))
+        .drop("doc_b2")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match")
+        )
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "n_match",
+        F.round(F.col("n_match").cast("double") / NUM_MINHASH, 6).alias("jaccard_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+_DOT_SQL = "list_dot_product(a.v, b.v)"
+_COS_SQL = (
+    f"{_DOT_SQL} / (sqrt(list_dot_product(a.v, a.v)) * "
+    "sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@register(
+    "embed_cosine_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT b.vec_id, b.label,
+       round({_COS_SQL}, 6) AS cosine_sim
+FROM (SELECT v FROM e WHERE vec_id = 0) a, e b
+WHERE b.vec_id != 0
+ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id
+LIMIT 20
+""",
+    description="Brute-force cosine top-k vs a query vector (vec_id=0): the "
+    "exact baseline for ANN. Double-precision fold; deterministic top-k on "
+    "(rounded sim, vec_id). At scale this is one broadcast of the query "
+    "vector + a map-side top-k (TakeOrdered), no shuffle of embeddings.",
+)
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = emb.filter(F.col("vec_id") != 0)
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        6,
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@register(
+    "embed_ivf_centroids",
+    oracle="""
+SELECT label, s.dim,
+       round(CAST(sum(e.embedding[s.dim]) AS DOUBLE) / count(*), 6) AS centroid_val
+FROM (SELECT label, embedding::DOUBLE[] AS embedding FROM embeddings) e,
+     LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS dim) s
+GROUP BY label, s.dim
+""",
+    description="IVF coarse-quantizer build: per-cell (label) centroids via "
+    "posexplode + partial-aggregated mean per dimension. The scale path for "
+    "ANN: probe only cells whose centroid is near the query.",
+)
+def q_embed_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("v")
+    )
+    exploded = emb.select("label", F.posexplode("v").alias("pos", "val"))
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "embed_near_dup_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       round({_COS_SQL}, 6) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_COS_SQL}, 6) >= 0.3
+""",
+    description="Embedding-cosine near-dup pairs, blocked by label (the IVF "
+    "cell): all-pairs only within a cell, threshold on rounded sim so both "
+    "engines select the identical set.",
+)
+def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (
+            F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+            * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+    )

@@ -1,0 +1,513 @@
+"""Queries reproducing the reference's operator surface (SURVEY §2 A–D, F,
+E-analysis) over the driver's ``events`` table (events ≙ request log,
+FIXTURES.md §1: ``ts → request_time``, ``value → processing_time``).
+
+Every query here has a DuckDB oracle.  Exact-arithmetic conventions per
+``plans.registry`` docstring: integer microseconds for time math, bigint
+sums for means, round(…, 6) only where interpolation/partial-agg order
+legitimately differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.operators.fifo import (
+    fifo_k1_timeline,
+    fifo_k1_timeline_sql,
+)
+from queue_system_simulator_spark.plans.registry import register
+from queue_system_simulator_spark.schema import events_as_requests, load_table
+
+#: 2024-01-01T00:00:00Z — natural epoch for the events table (min ts ≈ +7 s).
+EVENTS_EPOCH_US = 1_704_067_200_000_000
+#: mid-month epoch used by the negative-relative-time check so both signs occur
+MID_EPOCH_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+
+_FIFO_TL_SQL = fifo_k1_timeline_sql("SELECT * FROM events")
+
+
+# --------------------------------------------------------------------------
+# A. scans / projections
+# --------------------------------------------------------------------------
+@register(
+    "ingest_requests",
+    oracle="""
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS request_time_str,
+       epoch_us(ts) / 1000000 AS arrival_s,
+       value AS processing_time
+FROM events
+""",
+    description="A1-A4: schema-validated request-log ingestion (events → "
+    "REQUEST_SCHEMA projection, cast + ISO-8601 normalize). Reference: "
+    "/root/reference/src/csv_parser.py:7-75.",
+)
+def q_ingest_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("request_time_str"),
+        (F.unix_micros("ts") / 1_000_000).alias("arrival_s"),
+        F.col("value").alias("processing_time"),
+    )
+
+
+@register(
+    "sim_arrival_time",
+    oracle=f"""
+SELECT event_id,
+       (epoch_us(ts) - {EVENTS_EPOCH_US}) / 1000000 AS sim_arrival_time
+FROM events
+""",
+    description="B1: relative arrival seconds vs fixed epoch (reference "
+    "/root/reference/main.py:13,51-65 with epoch 2023-01-01Z; engine epoch "
+    "parameterized, here 2024-01-01Z).",
+)
+def q_sim_arrival_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.unix_micros("ts") - F.lit(EVENTS_EPOCH_US)) / 1_000_000).alias(
+            "sim_arrival_time"
+        ),
+    )
+
+
+@register(
+    "negative_arrival_check",
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN epoch_us(ts) - {MID_EPOCH_US} < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS negative_arrival_rows,
+       count(*) AS total_rows
+FROM events
+""",
+    description="B3: warn-count of rows whose request_time precedes the "
+    "epoch (reference /root/reference/main.py:54-60).",
+)
+def q_negative_arrival_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    neg = F.unix_micros("ts") - F.lit(MID_EPOCH_US) < 0
+    return ev.agg(
+        F.sum(F.when(neg, 1).otherwise(0)).cast("long").alias("negative_arrival_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+@register(
+    "priority_class",
+    oracle="""
+SELECT event_id,
+       CASE WHEN value < 20.0 THEN 'priority' ELSE 'normal' END AS queue_class
+FROM events
+""",
+    description="B5: two-class routing, processing_time < 20 s → priority, "
+    "null-safe to normal (reference /root/reference/src/queue_manager.py:105,137-155).",
+)
+def q_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") < 20.0, "priority").otherwise("normal").alias(
+            "queue_class"
+        ),
+    )
+
+
+@register(
+    "hms_format",
+    oracle="""
+SELECT event_id,
+       printf('%02d:%02d:%02d',
+              CAST(floor(value) AS BIGINT) // 3600,
+              (CAST(floor(value) AS BIGINT) % 3600) // 60,
+              CAST(floor(value) AS BIGINT) % 60) AS hms
+FROM events
+""",
+    description="B4: seconds → HH:MM:SS display format (reference "
+    "/root/reference/src/simulator.py:111-114).",
+)
+def q_hms_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    total = F.floor("value").cast("long")
+    return ev.select(
+        "event_id",
+        F.format_string(
+            "%02d:%02d:%02d",
+            F.floor(total / 3600).cast("long"),
+            F.floor((total % 3600) / 60).cast("long"),
+            (total % 60).cast("long"),
+        ).alias("hms"),
+    )
+
+
+@register(
+    "input_count",
+    oracle="SELECT count(*) AS total_requests FROM events",
+    description="G6: input-size count (reference /root/reference/main.py:119).",
+)
+def q_input_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.count(F.lit(1)).alias("total_requests"))
+
+
+# --------------------------------------------------------------------------
+# FIFO closed form (E1 special case) + stats (G1-G3)
+# --------------------------------------------------------------------------
+@register(
+    "fifo_timeline",
+    oracle=f"""
+SELECT group_id, seq, arrival_us, proc_us, start_us, finish_us, queuing_us,
+       arrival_s, start_s, finish_s, queuing_s
+FROM ({_FIFO_TL_SQL})
+""",
+    description="E1 special case: exact single-server FIFO queue timeline "
+    "per user via the closed-form window recurrence start_i = max(arrival_i, "
+    "finish_{i-1}) in integer microseconds (reference semantics "
+    "/root/reference/src/worker.py:88-111, /root/reference/src/queue_manager.py:7-95).",
+)
+def q_fifo_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fifo_k1_timeline(events_as_requests(spark, sf_dir))
+
+
+def _fifo_stats(df: DataFrame, group: bool) -> DataFrame:
+    qt_s = (F.col("queuing_us") / 1_000_000).alias("qt_s")
+    base = df.select("group_id", qt_s, "queuing_us")
+    g = base.groupBy("group_id") if group else base.groupBy()
+    out = g.agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.round(
+            F.sum("queuing_us").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("avg_queuing_time"),
+        F.expr("percentile(qt_s, array(0.5D, 0.75D, 0.9D, 0.99D))").alias("pcts"),
+    )
+    p = F.col("pcts")
+    cols = (["group_id"] if group else []) + [
+        F.col("processed"),
+        F.col("avg_queuing_time"),
+        F.round(p[0], 6).alias("p50"),
+        F.round(p[1], 6).alias("p75"),
+        F.round(p[2], 6).alias("p90"),
+        F.round(p[3], 6).alias("p99"),
+    ]
+    return out.select(*cols)
+
+
+_FIFO_STATS_SQL_BODY = """
+SELECT {group_cols} count(*) AS processed,
+       round(CAST(sum(queuing_us) AS DOUBLE) / count(*) / 1000000, 6) AS avg_queuing_time,
+       round(quantile_cont(queuing_us / 1000000, 0.5), 6)  AS p50,
+       round(quantile_cont(queuing_us / 1000000, 0.75), 6) AS p75,
+       round(quantile_cont(queuing_us / 1000000, 0.9), 6)  AS p90,
+       round(quantile_cont(queuing_us / 1000000, 0.99), 6) AS p99
+FROM ({tl})
+{group_by}
+"""
+
+
+@register(
+    "fifo_stats",
+    oracle=_FIFO_STATS_SQL_BODY.format(group_cols="", tl=_FIFO_TL_SQL, group_by=""),
+    description="G1-G3 flagship: queuing-time statistics (count, mean, exact "
+    "linear-interpolation percentiles p50/p75/p90/p99) over the FIFO timeline "
+    "(reference /root/reference/src/statistics.py:46-121).",
+)
+def q_fifo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fifo_stats(q_fifo_timeline(spark, sf_dir), group=False)
+
+
+@register(
+    "fifo_stats_by_user",
+    oracle=_FIFO_STATS_SQL_BODY.format(
+        group_cols="group_id,", tl=_FIFO_TL_SQL, group_by="GROUP BY group_id"
+    ),
+    description="G1-G3 grouped per user_id — the horizontally-scalable form: "
+    "per-group exact percentiles shard across the cluster.",
+)
+def q_fifo_stats_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fifo_stats(q_fifo_timeline(spark, sf_dir), group=True)
+
+
+# --------------------------------------------------------------------------
+# Synthetic sim-result table exercising every statistics quirk (C1,C2,C4,
+# G1-G5, D2).  Deterministic quirk injection on top of the FIFO timeline:
+#   seq % 50 == 0           → rejected (finish = −1 sentinel)
+#   seq % 13 == 0, ¬rejected → inverted row (start < arrival; silently
+#                              dropped from queuing-time stats — C2)
+#   seq % 11 == 0           → used_api_id NULL (api failure)
+#   else                     → used_api_id = seq % 7 + 1 (ids 6,7 exceed
+#                              N=5 → out-of-range skip — C4)
+# --------------------------------------------------------------------------
+_SIM_RESULTS_SQL = f"""
+SELECT group_id, seq, arrival_us, proc_us,
+       CASE WHEN seq % 50 = 0 THEN 0
+            WHEN seq % 13 = 0 THEN arrival_us - 5000000
+            ELSE start_us END AS start_us,
+       CASE WHEN seq % 50 = 0 THEN -1 ELSE finish_us END AS finish_us,
+       CASE WHEN seq % 11 = 0 THEN NULL
+            ELSE CAST(seq % 7 + 1 AS INTEGER) END AS used_api_id
+FROM ({_FIFO_TL_SQL})
+"""
+
+
+def _synthetic_sim_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = q_fifo_timeline(spark, sf_dir)
+    seq = F.col("seq")
+    return tl.select(
+        "group_id",
+        "seq",
+        "arrival_us",
+        "proc_us",
+        F.when(seq % 50 == 0, F.lit(0))
+        .when(seq % 13 == 0, F.col("arrival_us") - 5_000_000)
+        .otherwise(F.col("start_us"))
+        .alias("start_us"),
+        F.when(seq % 50 == 0, F.lit(-1)).otherwise(F.col("finish_us")).alias(
+            "finish_us"
+        ),
+        F.when(seq % 11 == 0, F.lit(None)).otherwise((seq % 7 + 1).cast("int")).alias(
+            "used_api_id"
+        ),
+    )
+
+
+@register(
+    "sim_result_stats",
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN finish_us != -1 THEN 1 ELSE 0 END) AS BIGINT) AS processed,
+       CAST(sum(CASE WHEN finish_us = -1 THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
+       round(CAST(sum(CASE WHEN finish_us != -1 AND start_us >= 0 AND arrival_us >= 0
+                            AND start_us >= arrival_us
+                           THEN start_us - arrival_us END) AS DOUBLE)
+             / sum(CASE WHEN finish_us != -1 AND start_us >= 0 AND arrival_us >= 0
+                         AND start_us >= arrival_us THEN 1 ELSE 0 END)
+             / 1000000, 6) AS avg_queuing_time,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END, 0.5), 6) AS p50,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END, 0.75), 6) AS p75,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END, 0.9), 6) AS p90,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END, 0.99), 6) AS p99
+FROM ({_SIM_RESULTS_SQL})
+""",
+    description="G1-G3 with the full reference quirk set: −1 rejection "
+    "sentinel split (C1), silent drop of time-inverted rows from the "
+    "queuing-time denominators only (C2), NaN-free counts (reference "
+    "/root/reference/src/statistics.py:28-42,77-121).",
+)
+def q_sim_result_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _synthetic_sim_results(spark, sf_dir)
+    fin, start, arr = F.col("finish_us"), F.col("start_us"), F.col("arrival_us")
+    is_proc = fin != -1
+    valid = is_proc & (start >= 0) & (arr >= 0) & (start >= arr)
+    qt_us = F.when(valid, start - arr)
+    df = df.withColumn("qt_s", (qt_us / 1_000_000))
+    out = df.agg(
+        F.sum(F.when(is_proc, 1).otherwise(0)).cast("long").alias("processed"),
+        F.sum(F.when(~is_proc, 1).otherwise(0)).cast("long").alias("rejected"),
+        F.round(
+            F.sum(qt_us).cast("double")
+            / F.sum(F.when(valid, 1).otherwise(0))
+            / 1_000_000,
+            6,
+        ).alias("avg_queuing_time"),
+        F.expr("percentile(qt_s, array(0.5D, 0.75D, 0.9D, 0.99D))").alias("pcts"),
+    )
+    p = F.col("pcts")
+    return out.select(
+        "processed",
+        "rejected",
+        "avg_queuing_time",
+        F.round(p[0], 6).alias("p50"),
+        F.round(p[1], 6).alias("p75"),
+        F.round(p[2], 6).alias("p90"),
+        F.round(p[3], 6).alias("p99"),
+    )
+
+
+@register(
+    "api_usage_zero_fill",
+    oracle=f"""
+SELECT d.api_id,
+       'api_' || d.api_id AS api_key,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS usage_count
+FROM (SELECT CAST(unnest(generate_series(1, 5)) AS INTEGER) AS api_id) d
+LEFT JOIN (
+  SELECT used_api_id AS api_id, count(*) AS cnt
+  FROM ({_SIM_RESULTS_SQL})
+  WHERE finish_us != -1 AND used_api_id IS NOT NULL
+    AND used_api_id BETWEEN 1 AND 5
+  GROUP BY used_api_id
+) c USING (api_id)
+""",
+    description="G4: per-API usage counts zero-filled against the configured "
+    "API domain (N=5), null skipped, out-of-range skipped (C4); broadcast "
+    "outer join against a range dimension (reference "
+    "/root/reference/src/statistics.py:126-141).",
+)
+def q_api_usage_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _synthetic_sim_results(spark, sf_dir)
+    counts = (
+        df.filter((F.col("finish_us") != -1) & F.col("used_api_id").isNotNull())
+        .filter(F.col("used_api_id").between(1, 5))
+        .groupBy(F.col("used_api_id").alias("api_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dim = (
+        df.sparkSession.range(1, 6)
+        .select(F.col("id").cast("int").alias("api_id"))
+    )
+    return (
+        F.broadcast(dim)
+        .join(counts, "api_id", "left")
+        .select(
+            "api_id",
+            F.concat(F.lit("api_"), F.col("api_id")).alias("api_key"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("usage_count"),
+        )
+    )
+
+
+@register(
+    "enqueue_totals",
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN finish_us != -1 AND proc_us < 20000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS priority_queue_enqueued_total,
+       CAST(sum(CASE WHEN finish_us != -1 AND proc_us >= 20000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS normal_queue_enqueued_total
+FROM ({_SIM_RESULTS_SQL})
+""",
+    description="G5: per-class enqueue totals derived relationally over "
+    "admitted rows (reference carries mutable counters, "
+    "/root/reference/src/queue_manager.py:121-154).",
+)
+def q_enqueue_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _synthetic_sim_results(spark, sf_dir)
+    admitted = F.col("finish_us") != -1
+    prio = F.col("proc_us") < 20_000_000
+    return df.agg(
+        F.sum(F.when(admitted & prio, 1).otherwise(0))
+        .cast("long")
+        .alias("priority_queue_enqueued_total"),
+        F.sum(F.when(admitted & ~prio, 1).otherwise(0))
+        .cast("long")
+        .alias("normal_queue_enqueued_total"),
+    )
+
+
+@register(
+    "result_order",
+    oracle=f"""
+SELECT seq,
+       row_number() OVER (
+         ORDER BY CASE WHEN finish_us = -1 THEN 9223372036854775807
+                       ELSE finish_us END,
+                  arrival_us, seq) AS result_rank
+FROM ({_SIM_RESULTS_SQL})
+""",
+    description="D2: deterministic result ordering with the −1 sentinel "
+    "sorting last, tie-break by arrival then seq (reference "
+    "/root/reference/src/simulator.py:260-265).",
+)
+def q_result_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _synthetic_sim_results(spark, sf_dir)
+    key = F.when(F.col("finish_us") == -1, F.lit(2**63 - 1)).otherwise(
+        F.col("finish_us")
+    )
+    w = Window.orderBy(key, "arrival_us", "seq")
+    return df.select("seq", F.row_number().over(w).alias("result_rank"))
+
+
+# --------------------------------------------------------------------------
+# E5/E7 analysis-mode queries (pure SQL analogs of the kernel state machines)
+# --------------------------------------------------------------------------
+@register(
+    "rate_limit_sliding",
+    oracle="""
+SELECT event_id,
+       CAST(event_id % 5 + 1 AS INTEGER) AS api_id,
+       CAST(count(*) OVER (
+         PARTITION BY event_id % 5
+         ORDER BY epoch_us(ts)
+         RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS calls_in_window,
+       count(*) OVER (
+         PARTITION BY event_id % 5
+         ORDER BY epoch_us(ts)
+         RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) <= 60 AS allowed
+FROM events
+""",
+    description="E5 analysis mode: per-API sliding 60 s call count (range "
+    "window frame ≙ the limiter's deque eviction, now − ts > 60 evicted; "
+    "reference /root/reference/src/api_client.py:17-24). Range frames are "
+    "peer-inclusive → order-insensitive, exact.",
+)
+def q_rate_limit_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    api = F.col("event_id") % 5
+    w = (
+        Window.partitionBy(api)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-60_000_000, 0)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        (api + 1).cast("int").alias("api_id"),
+        cnt.cast("long").alias("calls_in_window"),
+        (cnt <= 60).alias("allowed"),
+    )
+
+
+@register(
+    "queue_depth_timeseries",
+    oracle=f"""
+WITH deltas AS (
+  SELECT group_id, arrival_us AS t_us, 1 AS delta, seq FROM ({_FIFO_TL_SQL})
+  UNION ALL
+  SELECT group_id, start_us AS t_us, -1 AS delta, seq FROM ({_FIFO_TL_SQL})
+), depth AS (
+  SELECT group_id, t_us,
+         sum(delta) OVER (PARTITION BY group_id
+                          ORDER BY t_us, delta DESC, seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS queue_depth
+  FROM deltas
+)
+SELECT group_id,
+       CAST(max(queue_depth) AS BIGINT) AS max_queue_depth,
+       CAST(count(*) AS BIGINT) AS n_changes
+FROM depth GROUP BY group_id
+""",
+    description="E7 analysis mode: queue-depth time series via ±1 event "
+    "union + running sum; reported as per-group max depth (reference "
+    "snapshot metrics /root/reference/src/simulator.py:104-135).",
+)
+def q_queue_depth_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = q_fifo_timeline(spark, sf_dir)
+    arr = tl.select(
+        "group_id", F.col("arrival_us").alias("t_us"), F.lit(1).alias("delta"), "seq"
+    )
+    st = tl.select(
+        "group_id", F.col("start_us").alias("t_us"), F.lit(-1).alias("delta"), "seq"
+    )
+    deltas = arr.unionAll(st)
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy(F.col("t_us"), F.col("delta").desc(), F.col("seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    depth = deltas.withColumn("queue_depth", F.sum("delta").over(w))
+    return depth.groupBy("group_id").agg(
+        F.max("queue_depth").cast("long").alias("max_queue_depth"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )

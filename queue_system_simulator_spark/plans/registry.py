@@ -1,0 +1,53 @@
+"""Query registry: every operator the engine claims is registered here as a
+(name → Spark builder [+ DuckDB oracle SQL]) pair.
+
+The driver contract (``/root/repo/__spark_entry__.py``) compares each Spark
+result against its oracle at sf0.01 by row-count + schema + order-insensitive
+value hash, so:
+
+* every computed column is aliased identically on both sides;
+* float expressions are written with structurally identical op order on both
+  sides (bit-equal results) or rounded where the algorithms legitimately
+  differ (percentile interpolation, multi-partition float sums);
+* exact time arithmetic is done in integer microseconds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, description: str = ""
+) -> Callable:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.build for name, spec in QUERIES.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

@@ -1,0 +1,205 @@
+"""Flagship relational queries over the driver's TPC-H-ish star schema.
+
+The reference itself has no joins/set ops (SURVEY §2 D note) — these queries
+demonstrate the engine's general relational capability that the kernel's
+surrounding pipelines need (dimension zero-fills, scenario sweeps, reporting).
+
+Exactness convention for money math: every double is cast to DECIMAL(18,6)
+(exact for the 2-decimal source data) before multiplication/summation, so
+aggregation is order-independent and bit-identical between Spark's partial
+aggregates and DuckDB; results are rounded to 2 and cast back to double.
+
+Scale notes: dimension joins (region/nation/supplier/customer) are broadcast
+— no shuffle of the fact table; fact-side aggregations are partial (map-side
+combine) before the single hash shuffle on the group keys.  AQE handles
+skew/coalescing at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.plans.registry import register
+from queue_system_simulator_spark.schema import load_table
+
+
+def _dec(col):
+    return col.cast("decimal(18,6)")
+
+
+def _disc_price():
+    return _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))"
+)
+_CHARGE_SQL = (
+    "CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+    "CAST(1 - l_discount AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) * "
+    "CAST(1 + l_tax AS DECIMAL(18,6))"
+)
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum({_CHARGE_SQL}), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 pricing summary: filtered scan (predicate pushed "
+    "to parquet) + partial-aggregated groupBy; exact decimal money math.",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = (
+        F.round(_disc_price(), 6).cast("decimal(18,6)")
+        * _dec(F.lit(1) + F.col("l_tax"))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / cnt, 6).alias(
+                "avg_qty"
+            ),
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / cnt, 6
+            ).alias("avg_price"),
+            F.round(F.sum(_dec(F.col("l_discount"))).cast("double") / cnt, 6).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+                AND s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    description="TPC-H Q5-style local-supplier revenue: star join with "
+    "broadcast dimensions (customer/supplier/nation/region), single fact "
+    "shuffle on the join key; AQE re-plans at runtime.",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(asia),
+            (cust.c_nationkey == asia.n_nationkey)
+            & (supp.s_nationkey == asia.n_nationkey),
+        )
+    )
+    return df.groupBy("n_name").agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    oracle=f"""
+SELECT o.o_orderkey,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_orderpriority
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    description="TPC-H Q3-style top-k shipping priority: broadcast "
+    "semi-filtered join + exact-decimal revenue (deterministic top-k "
+    "ordering: revenue DESC, orderkey).",
+)
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    df = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        df.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4-style order-priority checking: EXISTS expressed "
+    "as a left-semi join (no row multiplication, no distinct needed).",
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, (li.l_orderkey == orders.o_orderkey), "inner"
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
+    semi = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))

@@ -1,0 +1,110 @@
+"""Canonical schemas and table loaders.
+
+The reference's data model is a single record type ``Request``
+(``/root/reference/src/data_model.py:5-42``) that accumulates lifecycle
+columns as it flows arrival -> queue -> worker -> stats.  Here that is one
+table whose lifecycle columns are *computed*, not mutated in place.
+
+Driver test tables (``/root/testdata/sf*/``) follow a TPC-H-ish star schema
+plus ``events``/``documents``/``embeddings``; ``events`` stands in for the
+reference's request log (``ts -> request_time``, ``value -> processing_time``,
+``user_id -> user_id``), per FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Simulation epoch: the reference derives relative arrival seconds against a
+#: fixed epoch 2023-01-01T00:00:00Z (``/root/reference/main.py:13``).  The
+#: driver's ``events`` table starts 2024-01-01, so the engine default epoch is
+#: configurable; reference-parity tests pin 2023-01-01.
+REFERENCE_EPOCH = "2023-01-01T00:00:00+00:00"
+EVENTS_EPOCH = "2024-01-01T00:00:00+00:00"
+
+#: Raw request-log schema — the reference CSV contract requires exactly these
+#: three columns (``/root/reference/src/csv_parser.py:37-40``).
+REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("request_time", T.TimestampType(), True),
+        T.StructField("processing_time", T.DoubleType(), True),
+    ]
+)
+
+#: Enriched simulation-result schema (reference ``Request`` after a run,
+#: ``/root/reference/src/data_model.py:31-42``).  The −1 sentinel in
+#: ``finish_processing_time_by_worker`` marks an admission-control rejection
+#: (``/root/reference/src/simulator.py:214``); ``used_api_id`` is null when
+#: every API attempt failed (``/root/reference/src/api_client.py:73``).
+SIM_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("request_time", T.TimestampType(), True),
+        T.StructField("processing_time", T.DoubleType(), True),
+        T.StructField("sim_arrival_time", T.DoubleType(), True),
+        T.StructField("arrival_time_in_queue", T.DoubleType(), True),
+        T.StructField("start_processing_time_by_worker", T.DoubleType(), True),
+        T.StructField("finish_processing_time_by_worker", T.DoubleType(), True),
+        T.StructField("used_api_id", T.IntegerType(), True),
+    ]
+)
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table.
+
+    Columnar parquet scan: Catalyst prunes columns and pushes predicates, so
+    callers should ``select``/``filter`` early and let the scan do the work.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark (with
+    ``nanosAsLong``) surfaces it as a long — convert to a microsecond
+    timestamp (`ts div 1000`, integer division: ns epoch values exceed
+    2^53 so float division would corrupt them).  Lossless for this data
+    (ns remainder is always 0) and identical to DuckDB's ns→µs cast.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view (for ``spark.sql`` queries)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def events_as_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table onto the reference request log.
+
+    FIXTURES.md §1: ``ts -> request_time``, ``value -> processing_time``,
+    ``user_id -> user_id`` (cast to string to honour REQUEST_SCHEMA).
+    ``event_id`` is retained as a deterministic tiebreaker for ordered
+    operators (the reference relies on stable input order,
+    ``/root/reference/src/simulator.py:41``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "CAST(user_id AS STRING) AS user_id",
+        "ts AS request_time",
+        "value AS processing_time",
+    )

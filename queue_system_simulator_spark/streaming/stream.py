@@ -1,0 +1,116 @@
+"""Structured Streaming variant (SURVEY §7 step 6; BASELINE.json north
+star: Structured Streaming + Parquet for the data lake).
+
+The reference is batch-only but its arrival log is naturally a stream
+(SURVEY §1.3); these helpers run the engine's transforms online:
+
+* ``stream_events``       — file-source stream over the events parquet
+* ``tumbling_counts``     — event-time tumbling-window counts/sums (the E7
+                            snapshot-metrics analog)
+* ``sliding_api_load``    — sliding-window per-API call counts (the E5
+                            rate-limiter analog; watermark ≙ the limiter's
+                            deque eviction, SURVEY §4)
+* ``run_available_now``   — drain the stream with Trigger.AvailableNow into
+                            a memory sink and return the materialized result
+                            (used by the batch-equivalence tests and the
+                            ``streaming_tumbling_counts`` oracle query)
+
+At scale: file/Kafka source → watermarked window aggregations (bounded
+state) → Parquet sink with checkpointing; the stateful kernel goes online
+via ``applyInPandasWithState`` (round-2 work, see tests for the batch
+kernel contract it must match).
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.schema import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events table (schema pinned from
+    the batch scan — streaming sources require an explicit schema)."""
+    path = f"{sf_dir}/events.parquet"
+    # FileStreamSource needs a directory; expose the single parquet file
+    # through a stable symlink dir (stands in for the S3 prefix a real
+    # deployment would stream from)
+    link_dir = Path("/tmp/qss_spark_stream") / sf_dir.strip("/").replace("/", "_")
+    link_dir.mkdir(parents=True, exist_ok=True)
+    link = link_dir / "events.parquet"
+    if not link.exists():
+        link.symlink_to(path)
+    raw_schema = spark.read.parquet(path).schema  # pre-conversion (ts may be ns-long)
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(str(link_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "60 seconds", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time tumbling-window counts + exact-decimal value sums per
+    event_type.  Watermark bounds state for late data (the reference has no
+    late-data handling — SURVEY §2.G — this is the engine extension)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            (F.unix_micros(F.col("win.start")) / 1_000_000)
+            .cast("long")
+            .alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_api_load(
+    events: DataFrame,
+    num_apis: int = 5,
+    window: str = "60 seconds",
+    slide: str = "15 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window per-API call counts — the analysis-mode analog of the
+    E5 sliding-window limiter as a stream."""
+    api = (F.col("event_id") % num_apis + 1).cast("int").alias("api_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), api)
+        .agg(F.count(F.lit(1)).alias("calls_in_window"))
+        .select(
+            (F.unix_micros(F.col("win.start")) / 1_000_000)
+            .cast("long")
+            .alias("window_start_s"),
+            "api_id",
+            "calls_in_window",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming aggregation with Trigger.AvailableNow into an
+    in-memory table; return the materialized DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
