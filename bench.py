@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized through the noop sink (executes the whole
+plan, no driver collect overhead).  A JVM/catalog warmup scan runs first so
+timings measure the queries, not session bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from queue_system_simulator_spark.plans import QUERIES  # noqa: E402
+from queue_system_simulator_spark.schema import TABLE_NAMES, load_table  # noqa: E402
+from queue_system_simulator_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "fifo_stats",
+    "fifo_stats_by_user",
+    "sim_result_stats",
+    "rate_limit_sliding",
+    "queue_depth_timeseries",
+    "kernel_fifo_k1",
+    "kernel_priority_sim",
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_orders_by_revenue",
+    "order_priority_counts",
+    "dedup_exact",
+    "text_stats",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "embed_cosine_topk",
+    "embed_near_dup_pairs",
+    "streaming_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # warmup: JVM + parquet footers
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.time()
+        df = spec.build(spark, sf_dir)
+        if df.isStreaming:  # pragma: no cover - streaming queries return batch
+            df.count()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,8 +58,13 @@ def queuing_time_stats(
     qt = F.when(valid, start - arr)  # null outside the valid set → ignored by aggs
 
     aggs = [
-        F.sum(F.when(is_proc, 1).otherwise(0)).cast("long").alias("processed"),
-        F.sum(F.when(~is_proc, 1).otherwise(0)).cast("long").alias("rejected"),
+        # coalesce: empty input → 0 counts (reference returns 0, not null)
+        F.coalesce(F.sum(F.when(is_proc, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("processed"),
+        F.coalesce(F.sum(F.when(~is_proc, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("rejected"),
         F.avg(qt).alias("avg_queuing_time"),
         F.expr(
             "percentile(IF(finish_processing_time_by_worker != -1.0 "

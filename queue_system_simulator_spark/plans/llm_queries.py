@@ -221,19 +221,24 @@ FROM (
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-gram word shingles per document (Spark side).
 
-    ``transform(sequence(...))`` builds the shingle array JVM-side; explode +
-    distinct.  Fan-out is O(tokens) per doc — bounded, shuffle-safe.
+    Tokenize once into a materialized column, then build the shingle array
+    JVM-side with ``transform(sequence(...))`` — re-splitting the text per
+    element would multiply the scan cost by the document length.  Fan-out is
+    O(tokens) per doc — bounded, shuffle-safe.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # documents arrive as few fat parquet partitions; spread the tokenize +
+    # explode across the cluster before the fan-out
+    toked = docs.repartition(32).select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1), ' ', "
-        "element_at(split(text, ' '), i + 2)))"
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
+        "element_at(toks, i + 2)))"
     )
     return (
-        docs.select("doc_id", "source", F.explode(shingles).alias("shingle"))
+        toked.select("doc_id", "source", F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -310,20 +315,30 @@ GROUP BY sh.doc_id, s.seed
     "(doc_id, seed); fan-out 16× shingles, still O(doc length).",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two optimizations over the naive per-(doc,seed,shingle) explode:
+    # 1. hash each DISTINCT shingle once (corpus vocab ≪ total shingle
+    #    occurrences), broadcast the hash table back onto the doc-shingle
+    #    pairs (at 100 TB: plain shuffle join — the trick still wins
+    #    whenever shingles repeat across documents);
+    # 2. 16 min() columns in ONE groupBy pass, then unpivot — no 16×
+    #    explode through the shuffle.
+    # Values are identical to the per-seed-explode formulation (and oracle).
     sh = _shingles(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASH - 1))).alias("seed")
-    exploded = sh.select("doc_id", "shingle", seeds)
-    return (
-        exploded.select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), "shingle")).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    hashed = sh.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h_{s}")
+            for s in range(NUM_MINHASH)
+        ],
     )
+    joined = sh.join(F.broadcast(hashed), "shingle")
+    aggs = [F.min(f"h_{s}").alias(f"mh_{s}") for s in range(NUM_MINHASH)]
+    wide = joined.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{s}L, mh_{s}" for s in range(NUM_MINHASH))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({NUM_MINHASH}, {stack}) AS (seed, minhash)"),
+    ).select("doc_id", "seed", "minhash")
 
 
 @register(
@@ -506,17 +521,21 @@ WHERE round({_COS_SQL}, 6) >= 0.3
     "engines select the identical set.",
 )
 def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # precompute each vector's norm once (5k rows) instead of per pair
+    # (1.25M pairs) — same float expression order, third of the work
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    emb = emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # the 5k-row parquet scan is one partition; the label-blocked pair probe
+    # is O(n²/cells) — spread the probe side across the cluster and
+    # broadcast the build side (embeddings dim table is small by design;
+    # at 100 TB the build side is the per-cell centroid shortlist, not the
+    # full corpus)
+    a = emb.repartition(64).alias("a")
+    b = F.broadcast(emb).alias("b")
     sim = F.round(
-        _dot(F.col("a.v"), F.col("b.v"))
-        / (
-            F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
-            * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
-        ),
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
         6,
     )
     return (
