@@ -270,16 +270,24 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.05
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # inverted-index pair generation: one groupBy to build the posting list
+    # per (source, shingle), then emit C(k,2) ordered pairs from the sorted
+    # list JVM-side.  Same pair multiset as the equi-self-join the oracle
+    # runs, but the shingle table crosses the shuffle ONCE instead of twice
+    # and there is no join.  At 100 TB a stop-shingle with a huge posting
+    # list would make one quadratic row — cap/salt hot shingles there; the
+    # candidate semantics (pairs sharing a rare shingle) are unchanged.
+    posting = sh.groupBy("source", "shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posting.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
@@ -315,14 +323,28 @@ GROUP BY sh.doc_id, s.seed
     "(doc_id, seed); fan-out 16× shingles, still O(doc length).",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # two optimizations over the naive per-(doc,seed,shingle) explode:
-    # 1. hash each DISTINCT shingle once (corpus vocab ≪ total shingle
-    #    occurrences), broadcast the hash table back onto the doc-shingle
-    #    pairs (at 100 TB: plain shuffle join — the trick still wins
-    #    whenever shingles repeat across documents);
-    # 2. 16 min() columns in ONE groupBy pass, then unpivot — no 16×
-    #    explode through the shuffle.
-    # Values are identical to the per-seed-explode formulation (and oracle).
+    wide = _minhash_wide(spark, sf_dir)
+    stack = ", ".join(f"{s}L, mh_{s}" for s in range(NUM_MINHASH))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({NUM_MINHASH}, {stack}) AS (seed, minhash)"),
+    ).select("doc_id", "seed", "minhash")
+
+
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide MinHash signature frame ``(doc_id, mh_0 .. mh_15)``.
+
+    Two optimizations over the naive per-(doc,seed,shingle) explode:
+
+    1. hash each DISTINCT shingle once for all 16 seeds (corpus vocab ≪
+       total shingle occurrences), broadcast the hash table back onto the
+       doc-shingle pairs (at 100 TB: plain shuffle join — the trick still
+       wins whenever shingles repeat across documents);
+    2. 16 ``min()`` columns in ONE groupBy pass — no 16× explode through
+       the shuffle.
+
+    Values are identical to the per-seed-explode formulation (and oracle).
+    """
     sh = _shingles(spark, sf_dir)
     hashed = sh.select("shingle").distinct().select(
         "shingle",
@@ -333,12 +355,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = sh.join(F.broadcast(hashed), "shingle")
     aggs = [F.min(f"h_{s}").alias(f"mh_{s}") for s in range(NUM_MINHASH)]
-    wide = joined.groupBy("doc_id").agg(*aggs)
-    stack = ", ".join(f"{s}L, mh_{s}" for s in range(NUM_MINHASH))
-    return wide.select(
-        "doc_id",
-        F.expr(f"stack({NUM_MINHASH}, {stack}) AS (seed, minhash)"),
-    ).select("doc_id", "seed", "minhash")
+    return joined.groupBy("doc_id").agg(*aggs)
 
 
 @register(
@@ -372,24 +389,30 @@ FROM est
     "candidate pairs only where a band collides, never all-pairs.",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = q_minhash_signatures(spark, sf_dir).cache()
-    bands = (
-        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_key")
-        )
-    )
+    # Work on the WIDE signature frame throughout: band keys are md5 over
+    # the 4 member columns in seed order (== the oracle's string_agg ORDER
+    # BY seed), and the signature-agreement count is 16 column comparisons
+    # evaluated inside the candidate join — the long-format double join +
+    # regroup of the naive plan never happens.  One row per doc crosses the
+    # shuffle per band; candidates stay join-on-bucket, never all-pairs.
+    n_bands = NUM_MINHASH // BAND_SIZE
+    wide = _minhash_wide(spark, sf_dir).cache()
+
+    def band_key(b: int):
+        cols = [F.col(f"mh_{s}") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+        return F.md5(F.concat_ws(",", *cols))
+
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -401,30 +424,29 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    sa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(NUM_MINHASH)],
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b2"),
-        F.col("seed").alias("seed_b"),
-        F.col("minhash").alias("mh_b"),
+    sb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(NUM_MINHASH)],
     )
-    est = (
+    n_match = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        for s in range(NUM_MINHASH)
+    )
+    return (
         cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("seed") == F.col("seed_b")))
-        .drop("doc_b2")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_match")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("long").alias("n_match"),
+            F.round(
+                n_match.cast("double") / NUM_MINHASH, 6
+            ).alias("jaccard_est"),
         )
-    )
-    return est.select(
-        "doc_a",
-        "doc_b",
-        "n_match",
-        F.round(F.col("n_match").cast("double") / NUM_MINHASH, 6).alias("jaccard_est"),
     )
 
 
