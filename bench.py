@@ -39,6 +39,7 @@ HEADLINE = [
     "text_stats",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
     "embed_cosine_topk",
     "embed_near_dup_pairs",
     "streaming_tumbling_counts",

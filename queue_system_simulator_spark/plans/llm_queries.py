@@ -451,6 +451,172 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16  # 4 bands: any pair with hamming <= 3 shares a band
+SIMHASH_MAX_HAMMING = 8
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_weight_sql(j: int, nibble_fn: str) -> str:
+    """±1 weight of bit ``j`` (0 = MSB) of the md5-derived 64-bit token
+    hash, from the hex column ``h``.  ``nibble_fn`` abstracts the one
+    engine difference: Spark ``instr(haystack, needle)`` vs DuckDB
+    ``strpos(haystack, needle)``."""
+    p = j // 4 + 1  # 1-based hex char holding bit j
+    d = 2 ** (3 - j % 4)  # shift within the nibble
+    nib = f"({nibble_fn}('{_HEX}', substr(h, {p}, 1)) - 1)"
+    return f"(2 * (({nib} // {d}) % 2) - 1)"
+
+
+def _simhash_sql(nibble_fn: str, intdiv: str) -> str:
+    """Engine-portable simhash signature SQL (token-frequency weighted)."""
+    weights = ", ".join(
+        f"sum({_simhash_weight_sql(j, nibble_fn).replace('//', intdiv)}) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = ", ".join(
+        f"CASE WHEN s_{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+SELECT doc_id, concat({sig}) AS simhash
+FROM (
+  SELECT doc_id, {weights}
+  FROM (
+    SELECT d.doc_id, md5(t.tok) AS h
+    FROM documents d, LATERAL unnest(string_split(d.text, ' ')) AS t(tok)
+  ) tok
+  GROUP BY doc_id
+) s
+"""
+
+
+_SIMHASH_DUCK = _simhash_sql("strpos", "//")
+
+
+def _simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) with a 64-char bit-string signature.
+
+    Token-frequency-weighted simhash: every token occurrence contributes
+    ±1 per bit of its 64-bit hash (first 16 hex chars of md5); signature
+    bit = sign of the per-bit sum (ties → 0).  All 64 weights are plain
+    integer expressions over ONE materialized md5 column, aggregated in a
+    single map-side-combined groupBy — no UDFs, no per-bit fan-out rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.repartition(32).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(_simhash_weight_sql(j, "instr").replace("//", " div ")))
+            .alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s_{j}") > 0, "1").otherwise("0")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "simhash_signatures",
+    oracle=_SIMHASH_DUCK,
+    description="SimHash 64-bit signatures (token-frequency weighted, "
+    "md5-derived bit hashes): one groupBy with 64 integer-sum columns, "
+    "fully JVM-side, partial-aggregated map-side. The signature is the "
+    "constant-size sketch that makes near-dup detection shuffle one row "
+    "per doc instead of the document body at 100 TB.",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_spark(spark, sf_dir)
+
+
+_HAMMING_DUCK = (
+    f"len(list_filter(generate_series(1, {SIMHASH_BITS}), "
+    "i -> substr(a.simhash, CAST(i AS INT), 1) != substr(b.simhash, CAST(i AS INT), 1)))"
+)
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+WITH sig AS ({_SIMHASH_DUCK}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+   AND EXISTS (
+     SELECT 1 FROM unnest(generate_series(0, {SIMHASH_BITS // SIMHASH_BAND_BITS - 1})) AS g(band)
+     WHERE substr(a.simhash, CAST(band * {SIMHASH_BAND_BITS} + 1 AS INT), {SIMHASH_BAND_BITS})
+         = substr(b.simhash, CAST(band * {SIMHASH_BAND_BITS} + 1 AS INT), {SIMHASH_BAND_BITS}))
+)
+SELECT c.doc_a, c.doc_b, CAST({_HAMMING_DUCK} AS BIGINT) AS hamming
+FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+WHERE {_HAMMING_DUCK} <= {SIMHASH_MAX_HAMMING}
+""",
+    description="SimHash near-dup pairs: band-blocked candidates (4 x "
+    "16-bit bands — every pair within hamming 3 is guaranteed caught, "
+    "wider matches best-effort), exact hamming filter <= "
+    f"{SIMHASH_MAX_HAMMING}. Candidate generation is join-on-band-bucket, "
+    "never all-pairs.",
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    sig = _simhash_spark(spark, sf_dir).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "simhash", b * SIMHASH_BAND_BITS + 1, SIMHASH_BAND_BITS
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig_a", ""),
+                F.split("sig_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding similarity search
 # --------------------------------------------------------------------------
 _DOT_SQL = "list_dot_product(a.v, b.v)"
