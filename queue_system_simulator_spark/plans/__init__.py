@@ -10,6 +10,7 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
     reference_queries,
     tpch_queries,
     llm_queries,
+    multimodal_queries,
     kernel_queries,
     streaming_queries,
 )

@@ -1,0 +1,135 @@
+"""Multimodal pipeline queries (functions/multimodal.py wired to the
+driver's oracle gate).
+
+The media table is synthesized deterministically from ``documents`` (blob =
+md5-chain bytes), so the DuckDB oracle can re-derive every byte from the
+hex string with pure SQL — which makes even the ``mapInPandas`` feature /
+resize / frame paths hash-checkable, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.functions.multimodal import (
+    NUM_BLOB_CHUNKS,
+    decode_media,
+    extract_features,
+    frame_sample,
+    resize_media,
+    synthesize_media,
+)
+from queue_system_simulator_spark.plans.registry import register
+
+_HEXBLOB = " || ".join(
+    ["md5(text)"]
+    + [f"md5(text || '|{i}')" for i in range(1, NUM_BLOB_CHUNKS)]
+)
+
+#: bytes list re-derived from the hex string: byte i = 16*hi + lo nibble
+_MEDIA_BYTES_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         substr({_HEXBLOB}, 1, CAST(2 * (64 + (doc_id % 4) * 16) AS INT)) AS hexblob
+  FROM documents
+),
+b AS (
+  SELECT media_id, kind, hexblob,
+         list_transform(generate_series(1, CAST(len(hexblob) // 2 AS INT)),
+            i -> 16 * (strpos('0123456789abcdef',
+                              substr(hexblob, CAST(2*i-1 AS INT), 1)) - 1)
+               + strpos('0123456789abcdef',
+                        substr(hexblob, CAST(2*i AS INT), 1)) - 1) AS bytes
+  FROM m
+)
+"""
+
+
+@register(
+    "multimodal_features",
+    oracle=_MEDIA_BYTES_SQL
+    + """
+SELECT media_id, kind,
+       CAST(len(bytes) AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(bytes, 'sum') AS BIGINT) AS sum_bytes,
+       round(CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / len(bytes), 6)
+         AS mean_byte,
+       CAST(list_aggregate(bytes, 'min') AS BIGINT) AS min_byte,
+       CAST(list_aggregate(bytes, 'max') AS BIGINT) AS max_byte,
+       CAST(len(list_filter(bytes, x -> x // 64 = 0)) AS BIGINT) AS hist_0,
+       CAST(len(list_filter(bytes, x -> x // 64 = 1)) AS BIGINT) AS hist_1,
+       CAST(len(list_filter(bytes, x -> x // 64 = 2)) AS BIGINT) AS hist_2,
+       CAST(len(list_filter(bytes, x -> x // 64 = 3)) AS BIGINT) AS hist_3
+FROM b
+""",
+    description="Multimodal feature extraction: opaque binary blobs + typed "
+    "metadata, byte stats + 4-bin histogram computed vectorized (numpy over "
+    "Arrow batches) in mapInPandas — the codec-adjacent stage of an image/"
+    "audio training pipeline with the decode stubbed deterministically "
+    "(functions/multimodal.py).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(synthesize_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_MEDIA_BYTES_SQL
+    + """
+SELECT media_id, f.frame_idx,
+       CAST(len(hexblob) // 8 AS BIGINT) AS n_frame_bytes,
+       substr(hexblob,
+              CAST(f.frame_idx * (len(hexblob) // 8) * 2 + 1 AS INT),
+              CAST((len(hexblob) // 8) * 2 AS INT)) AS frame_hex
+FROM b, LATERAL (SELECT unnest([0, 2]) AS frame_idx) f
+WHERE kind = 'video'
+""",
+    description="Video frame sampling: blob split into meta.n_frames equal "
+    "frames inside mapInPandas, every 2nd frame kept; ≤ n_frames fan-out "
+    "per asset, frame bytes verified against the oracle via hex encoding.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = frame_sample(synthesize_media(spark, sf_dir), every_n=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("n_frame_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=_MEDIA_BYTES_SQL
+    + """
+SELECT media_id, kind,
+       CAST(list_aggregate(rpx, 'sum') AS BIGINT) AS sum_px,
+       CAST(list_aggregate(rpx, 'min') AS BIGINT) AS min_px,
+       CAST(list_aggregate(rpx, 'max') AS BIGINT) AS max_px
+FROM (
+  SELECT media_id, kind,
+         list_transform(generate_series(0, 63),
+            k -> bytes[CAST(((k // 8) * (len(bytes) // 16) // 8) * 16
+                            + ((k % 8) * 16) // 8 + 1 AS INT)]) AS rpx
+  FROM b
+) r
+""",
+    description="Decode → nearest-neighbor resize to 8x8 → pixel stats: two "
+    "chained mapInPandas stages (decode grid, numpy fancy-index resample) "
+    "with the final reduction done JVM-side on the array column.",
+)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = resize_media(
+        decode_media(synthesize_media(spark, sf_dir)), out_width=8, out_height=8
+    )
+    px = F.col("pixels")
+    return resized.select(
+        "media_id",
+        "kind",
+        F.aggregate(px, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_px"),
+        F.array_min(px).cast("long").alias("min_px"),
+        F.array_max(px).cast("long").alias("max_px"),
+    )

@@ -1,0 +1,74 @@
+"""Multimodal binary-column plumbing tests (functions/multimodal.py).
+
+The codec itself is stubbed (no PIL/soundfile in this runtime); these tests
+pin everything around it: schema, geometry, batch fan-out, determinism, and
+the explicit NotImplementedError contract of the real-codec hook.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from queue_system_simulator_spark.functions.multimodal import (
+    _fake_decode,
+    _real_decode,
+    decode_media,
+    extract_features,
+    frame_sample,
+    resize_media,
+    synthesize_media,
+)
+
+
+def test_real_decode_is_a_stub():
+    with pytest.raises(NotImplementedError):
+        _real_decode(b"\x00", "gray8")
+
+
+def test_fake_decode_truncates_and_pads():
+    assert _fake_decode(bytes(range(10)), 2, 3).shape == (3, 2)  # truncate
+    padded = _fake_decode(b"\x05", 2, 2)  # pad
+    assert padded.tolist() == [[5, 0], [0, 0]]
+
+
+def test_media_synthesis_geometry(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir).collect()
+    assert len(media) > 0
+    for r in media:
+        assert r.kind in ("image", "audio", "video")
+        assert len(r.blob) == r.meta.width * r.meta.height  # channels=1
+        assert len(r.blob) in (64, 80, 96, 112)
+
+
+def test_decode_shapes(spark, sf_dir):
+    rows = decode_media(synthesize_media(spark, sf_dir)).collect()
+    for r in rows:
+        assert len(r.pixels) == r.height * r.width
+
+
+def test_features_match_blob_bytes(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    for r in media.collect():
+        a = np.frombuffer(r.blob, dtype=np.uint8)
+        f = feats[r.media_id]
+        assert f.n_bytes == a.size
+        assert f.sum_bytes == int(a.sum())
+        assert f.hist_0 + f.hist_1 + f.hist_2 + f.hist_3 == a.size
+
+
+def test_resize_is_deterministic_and_fixed_geometry(spark, sf_dir):
+    decoded = decode_media(synthesize_media(spark, sf_dir))
+    r1 = sorted(resize_media(decoded, 8, 8).collect(), key=lambda r: r.media_id)
+    r2 = sorted(resize_media(decoded, 8, 8).collect(), key=lambda r: r.media_id)
+    assert all(len(r.pixels) == 64 for r in r1)
+    assert [r.pixels for r in r1] == [r.pixels for r in r2]
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir)
+    n_video = media.filter("kind = 'video'").count()
+    frames = frame_sample(media, every_n=2).collect()
+    assert len(frames) == 2 * n_video  # frames 0 and 2 of 4
+    assert {f.frame_idx for f in frames} == {0, 2}
