@@ -41,7 +41,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
     "embed_cosine_topk",
+    "embed_ivf_probe_topk",
     "embed_near_dup_pairs",
+    "multimodal_features",
     "streaming_tumbling_counts",
 ]
 

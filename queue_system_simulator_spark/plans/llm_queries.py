@@ -450,6 +450,61 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_CASE = """
+round(
+  0.4 * (CASE WHEN length(text) BETWEEN 150 AND 450 THEN 1.0
+              WHEN length(text) < 150 THEN length(text) / 150.0
+              ELSE 450.0 / length(text) END)
++ 0.3 * (CASE WHEN sw_ratio BETWEEN 0.05 AND 0.40 THEN 1.0 ELSE 0.0 END)
++ 0.3 * (CASE WHEN avg_tok BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+, 6)
+"""
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+SELECT doc_id, {_QUALITY_CASE.replace('sw_ratio', f'''
+  (CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+   / len(string_split(text, ' ')))''').replace('avg_tok', '''
+  (CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)),
+                       'sum') AS DOUBLE) / len(string_split(text, ' ')))''')}
+  AS quality_score
+FROM documents
+""",
+    description="Composite document quality score (training-data filtering "
+    "gate): weighted blend of length-, stopword-ratio- and token-shape "
+    "sub-scores, all JVM-side CASE arithmetic — the cheap pre-filter that "
+    "runs before any expensive dedup/embedding stage at 100 TB.",
+)
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sw_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
+        "double"
+    ) / n
+    avg_tok = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n
+    )
+    ln = F.length("text")
+    len_score = (
+        F.when(ln.between(150, 450), 1.0)
+        .when(ln < 150, ln / 150.0)
+        .otherwise(450.0 / ln)
+    )
+    quality = F.round(
+        0.4 * len_score
+        + 0.3 * F.when(sw_ratio.between(0.05, 0.40), 1.0).otherwise(0.0)
+        + 0.3 * F.when(avg_tok.between(3.0, 8.0), 1.0).otherwise(0.0),
+        6,
+    )
+    return docs.select("doc_id", quality.alias("quality_score"))
+
+
 # --------------------------------------------------------------------------
 # SimHash near-dup
 # --------------------------------------------------------------------------
@@ -692,6 +747,105 @@ def q_embed_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("centroid_val"))
+    )
+
+
+IVF_NPROBE = 2
+IVF_TOPK = 20
+
+_CENTROID_SQL = """
+SELECT label, list(cval ORDER BY dim) AS c
+FROM (
+  SELECT label, s.dim AS dim,
+         round(CAST(sum(e.v[CAST(s.dim AS INT)]) AS DOUBLE) / count(*), 6)
+           AS cval
+  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS dim) s
+  GROUP BY label, s.dim
+) cl
+GROUP BY label
+"""
+
+
+@register(
+    "embed_ivf_probe_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS ({_CENTROID_SQL}),
+cells AS (
+  SELECT label,
+         round(list_aggregate(list_transform(generate_series(1, CAST(len(c) AS INT)),
+               d -> (qv[CAST(d AS INT)] - c[CAST(d AS INT)])
+                  * (qv[CAST(d AS INT)] - c[CAST(d AS INT)])), 'sum'), 6) AS l2
+  FROM cent, q
+  ORDER BY l2, label
+  LIMIT {IVF_NPROBE}
+)
+SELECT b.vec_id, b.label,
+       round(list_dot_product(q.qv, b.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e b JOIN cells ON b.label = cells.label, q
+WHERE b.vec_id != 0
+ORDER BY cosine_sim DESC, b.vec_id
+LIMIT {IVF_TOPK}
+""",
+    description="IVF-probe ANN search (the 100 TB scale path): coarse "
+    f"centroids per cell, probe the {IVF_NPROBE} nearest cells by L2 to "
+    "the query, brute-force cosine only within probed cells, top-"
+    f"{IVF_TOPK}. Centroids + cell shortlist are tiny broadcast frames; "
+    "the corpus is touched only via a partition-pruning-friendly cell "
+    "filter — no full-corpus shuffle.",
+)
+def q_embed_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    # centroid arrays: per-dim mean rounded to 6 (same grid as the oracle),
+    # assembled back into an array ordered by dim
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    cells = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("label", l2.alias("l2"))
+        .orderBy("l2", "label")
+        .limit(IVF_NPROBE)
+        .select("label")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).join(F.broadcast(cells), "label")
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(IVF_TOPK)
     )
 
 
