@@ -10,10 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from queue_system_simulator_spark.operators.fifo import fifo_k1_timeline_sql
 from queue_system_simulator_spark.plans.registry import register
 from queue_system_simulator_spark.streaming.stream import (
     run_available_now,
+    session_counts,
+    sliding_api_load,
     stream_events,
+    streaming_fifo_k1,
     tumbling_counts,
 )
 
@@ -35,3 +39,74 @@ GROUP BY 1, 2
 def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
     return run_available_now(tumbling_counts(stream))
+
+
+@register(
+    "streaming_sliding_api_load",
+    oracle="""
+SELECT ws.window_start_s,
+       CAST(e.event_id % 5 + 1 AS INT) AS api_id,
+       count(*) AS calls_in_window
+FROM events e,
+     LATERAL (SELECT unnest([0, 1, 2, 3]) AS k) kk,
+     LATERAL (SELECT (epoch_us(e.ts) // 15000000) * 15 - kk.k * 15
+              AS window_start_s) ws
+GROUP BY 1, 2
+""",
+    description="Structured Streaming sliding-window (60 s window, 15 s "
+    "slide) per-API call counts — the E5 rate-limiter analysis analog "
+    "online; each event lands in exactly 4 epoch-aligned windows, which is "
+    "how the batch oracle enumerates them.",
+)
+def q_streaming_sliding_api_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(sliding_api_load(stream))
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+flags AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w >= 300000000 THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sess AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id,
+       CAST(min(t) // 1000000 AS BIGINT) AS session_start_s,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+    description="Event-time session windows (300 s gap) per user via "
+    "session_window() — gap-merged bursts of the request log; the batch "
+    "oracle re-derives sessions with a lag + running-sum window.",
+)
+def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(session_counts(stream))
+
+
+@register(
+    "streaming_fifo_state",
+    oracle=f"""
+SELECT group_id AS user_id, seq, arrival_s, start_s, finish_s, queuing_s
+FROM ({fifo_k1_timeline_sql("SELECT * FROM events")})
+""",
+    description="ONLINE stateful kernel: FIFO/k=1 queue per user via "
+    "applyInPandasWithState (group state = last finish, integer µs), "
+    "drained with Trigger.AvailableNow — the streaming twin of "
+    "kernel_fifo_k1, oracle-checked against the same closed-form window "
+    "SQL, proving batch kernel ≡ online kernel ≡ SQL recurrence.",
+)
+def q_streaming_fifo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(streaming_fifo_k1(stream), output_mode="append")

@@ -101,6 +101,97 @@ def sliding_api_load(
     )
 
 
+def session_counts(
+    events: DataFrame, gap: str = "300 seconds", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time session windows per user (gap-based): the engine extension
+    the reference lacks entirely — burst detection over the request log.
+    State is bounded by the watermark; sessions merge across microbatches."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("win.start")) / 1_000_000)
+            .cast("long")
+            .alias("session_start_s"),
+            "n_events",
+        )
+    )
+
+
+#: Output/state schemas for the online FIFO kernel (micros as longs: exact).
+FIFO_STATE_OUTPUT = (
+    "user_id string, seq long, arrival_s double, start_s double, "
+    "finish_s double, queuing_s double"
+)
+FIFO_STATE_SCHEMA = "last_finish long"
+
+
+def streaming_fifo_k1(events: DataFrame) -> DataFrame:
+    """Online FIFO/k=1 kernel via ``applyInPandasWithState``: one queue
+    state (last service finish, integer micros) per user, events processed
+    in event-time order within each microbatch.
+
+    This is the stateful-streaming twin of the batch kernel's E1 special
+    case (``operators/fifo.py``): ``start_i = max(arrival_i, finish_{i-1})``
+    carried across microbatches in group state, so the drained stream output
+    is bit-equal to the closed-form window SQL — which is exactly how the
+    registered query is oracle-checked.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        (last_finish,) = state.get if state.exists else (0,)
+        batch = batch.sort_values(["arrival_us", "seq"])
+        out = []
+        for r in batch.itertuples():
+            start = max(int(r.arrival_us), last_finish)
+            last_finish = start + int(r.processing_us)
+            out.append(
+                (
+                    key[0],
+                    r.seq,
+                    r.arrival_us / 1e6,
+                    start / 1e6,
+                    last_finish / 1e6,
+                    (start - r.arrival_us) / 1e6,
+                )
+            )
+        state.update((last_finish,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "seq",
+                "arrival_s",
+                "start_s",
+                "finish_s",
+                "queuing_s",
+            ],
+        )
+
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_id").alias("seq"),
+        F.unix_micros("ts").alias("arrival_us"),
+        (F.round(F.col("value") * 100).cast("long") * 10_000).alias("processing_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FIFO_STATE_OUTPUT,
+        stateStructType=FIFO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregation with Trigger.AvailableNow into an
     in-memory table; return the materialized DataFrame."""

@@ -35,6 +35,42 @@ def test_tumbling_counts_match_batch(spark, sf_dir):
     assert s == b
 
 
+def test_streaming_fifo_state_matches_batch_closed_form(spark, sf_dir):
+    """Online stateful kernel (applyInPandasWithState) ≡ closed-form FIFO."""
+    from queue_system_simulator_spark.operators.fifo import fifo_k1_timeline
+    from queue_system_simulator_spark.streaming.stream import streaming_fifo_k1
+
+    streamed = run_available_now(
+        streaming_fifo_k1(stream_events(spark, sf_dir)), output_mode="append"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = fifo_k1_timeline(ev, ts_col="ts", proc_col="value").select(
+        F.col("group_id").cast("string").alias("user_id"),
+        "seq",
+        "arrival_s",
+        "start_s",
+        "finish_s",
+        "queuing_s",
+    )
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
+
+
+def test_session_counts_cover_all_events(spark, sf_dir):
+    from queue_system_simulator_spark.streaming.stream import session_counts
+
+    out = run_available_now(session_counts(stream_events(spark, sf_dir)))
+    rows = out.collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events  # partition of the log
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.session_start_s)
+    for starts in per_user.values():
+        assert len(starts) == len(set(starts))  # distinct session starts
+
+
 def test_sliding_api_load_runs(spark, sf_dir):
     out = run_available_now(sliding_api_load(stream_events(spark, sf_dir)))
     rows = out.collect()
