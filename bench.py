@@ -45,6 +45,7 @@ HEADLINE = [
     "embed_near_dup_pairs",
     "multimodal_features",
     "streaming_tumbling_counts",
+    "streaming_fifo_state",
 ]
 
 
