@@ -11,6 +11,7 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
     tpch_queries,
     llm_queries,
     multimodal_queries,
+    relational_queries,
     kernel_queries,
     streaming_queries,
 )

@@ -69,6 +69,37 @@ def q_kernel_fifo_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kernel_fifo_bounded",
+    oracle=None,  # admission control feeds back through queue occupancy —
+    # a recurrence on the full system state, not window-expressible; covered
+    # by invariants in tests/test_kernel.py and the driver's rows-only check
+    description="Bounded-FIFO mode with LIVE admission control (SURVEY §2 "
+    "quirk 1's other branch): queue_max_size=3, k=2 workers — arrivals "
+    "hitting a full queue get the reference's −1 finish sentinel and "
+    "status='rejected', sorted last (D2). Exercises E1 rejection + C1 "
+    "split + sentinel ordering end-to-end.",
+)
+def q_kernel_fifo_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_micro(spark, sf_dir)
+    params = SimParams(num_workers=2, queue_mode="fifo", queue_max_size=3)
+    res = simulate(df, params, group_cols=["user_id"])
+    m = 1_000_000
+    rejected = F.col("finish_processing_time_by_worker") == -1.0
+    return res.select(
+        "user_id",
+        "seq",
+        (F.col("sim_arrival_time") / m).alias("arrival_s"),
+        F.when(rejected, F.lit(None)).otherwise(
+            F.col("start_processing_time_by_worker") / m
+        ).alias("start_s"),
+        F.when(rejected, F.lit(-1.0)).otherwise(
+            F.col("finish_processing_time_by_worker") / m
+        ).alias("finish_s"),
+        "status",
+    )
+
+
+@register(
     "kernel_priority_sim",
     oracle=None,  # RNG-coupled priority dequeue + limiter feedback: not
     # SQL-expressible; covered by seeded golden tests instead

@@ -1,0 +1,207 @@
+"""Relational capability extensions: as-of join, rollup, windowed top-n,
+set operations.
+
+The reference has none of these (SURVEY §2 D note); a user migrating real
+pipelines onto this engine needs them, and each has a well-known
+Spark-native scalable shape:
+
+* as-of join   — union + partitioned ordered window with ``last(...,
+  ignorenulls)`` (the merge-join formulation: ONE shuffle on the key,
+  no range explosion); DuckDB verifies with its native ``ASOF JOIN``.
+* rollup       — ``df.rollup`` → partial-aggregated grouping sets.
+* top-n        — ``row_number`` window, filter early so only n rows per
+  partition survive the shuffle boundary.
+* set ops      — ``intersect``/``exceptAll`` on pre-aggregated keys.
+
+Money math follows the tpch_queries decimal convention (order-independent
+sums, bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.plans.registry import register
+from queue_system_simulator_spark.schema import load_table
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))"
+)
+
+
+@register(
+    "asof_join_purchase",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type,
+       p.event_id AS last_purchase_id,
+       CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type != 'purchase') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    description="As-of join: every non-purchase event matched to the most "
+    "recent purchase of the same user at-or-before it. Spark has no ASOF "
+    "operator, so the engine uses the scalable merge formulation — tag + "
+    "union both sides, one window per user ordered by (ts, tag) carrying "
+    "last(purchase, ignorenulls) — one shuffle on the key, no range "
+    "explosion; DuckDB's native ASOF JOIN is the oracle.",
+)
+def q_asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "tus",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("p_id"),
+        F.col("tus").alias("p_tus"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    probes = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "tus",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("p_tus"),
+        "event_id",
+        "event_type",
+    )
+    # purchases sort before probes at equal ts (tag 0 < 1) == at-or-before
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(probes).select(
+        "*",
+        F.last("p_id", ignorenulls=True).over(w).alias("last_purchase_id"),
+        F.last("p_tus", ignorenulls=True).over(w).alias("last_p_tus"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "last_purchase_id",
+        (F.col("tus") - F.col("last_p_tus")).cast("long").alias("gap_us"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle=f"""
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(yr AS VARCHAR), 'ALL') AS order_year,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+       CAST(sum(cnt) AS BIGINT) AS n_items
+FROM (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS yr,
+         sum({_DISC_PRICE_SQL}) AS rev, count(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+) base
+GROUP BY ROLLUP (n_name, yr)
+""",
+    description="Hierarchical rollup (nation → order year → grand total) "
+    "over the star join: grouping-sets aggregation with partial map-side "
+    "combine; dimensions broadcast so the fact table shuffles once on the "
+    "group keys. Subtotal rows labeled 'ALL' for engine-portable hashing.",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    base = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.year("o_orderdate").cast("int").alias("yr"), disc.alias("rev"))
+    )
+    return (
+        base.rollup("n_name", "yr")
+        .agg(
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "window_topn_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+              AS INT) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+""",
+    description="Windowed top-n per group: top 3 orders per customer by "
+    "total price (deterministic tie-break on orderkey). One shuffle on the "
+    "partition key; the rank filter prunes to ≤3 rows per customer "
+    "immediately after the window.",
+)
+def q_window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "setops_customer_segments",
+    oracle="""
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'only_1995' AS segment, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96) a
+UNION ALL
+SELECT 'both_years' AS segment, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96) b
+""",
+    description="Set operations (EXCEPT / INTERSECT / UNION ALL) over "
+    "pre-aggregated customer keys: churn-style segmentation. Distinct key "
+    "sets are built first so the set ops shuffle keys, not order rows.",
+)
+def q_setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = keys(1995), keys(1996)
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("segment"), "o_custkey")
+    both = y95.intersect(y96).select(F.lit("both_years").alias("segment"), "o_custkey")
+    return only95.unionByName(both)

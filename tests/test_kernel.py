@@ -214,3 +214,37 @@ class TestRateLimiter:
         assert lim.acquire(0.0) == 2   # api1 saturated → next
         assert lim.acquire(0.0) == 2
         assert lim.acquire(0.0) == 3
+
+
+class TestBoundedFifoRejection:
+    def test_admission_control_rejects_when_full(self):
+        # k=1 worker, queue max 1: ALL arrivals drain before any worker
+        # steps (reference fixed-point order, simulator.py:201-236), so a
+        # burst of 4 simultaneous arrivals admits 1 and rejects 3
+        reqs = [
+            {"seq": i, "sim_arrival_time": 0.0, "processing_time": 10.0}
+            for i in range(4)
+        ]
+        out = simulate_events(
+            reqs, SimParams(num_workers=1, queue_mode="fifo", queue_max_size=1)
+        )
+        statuses = [r["status"] for r in out]
+        assert statuses.count("rejected") == 3
+        for r in out:
+            if r["status"] == "rejected":
+                assert r["finish_processing_time_by_worker"] == -1.0
+        # rejected rows sort last (D2 sentinel ordering)
+        assert [r["status"] == "rejected" for r in out] == [False, True, True, True]
+
+    def test_processed_plus_rejected_partitions_input(self):
+        rng_reqs = [
+            {"seq": i, "sim_arrival_time": float(i % 3), "processing_time": 5.0}
+            for i in range(30)
+        ]
+        out = simulate_events(
+            rng_reqs, SimParams(num_workers=2, queue_mode="fifo", queue_max_size=3)
+        )
+        assert len(out) == 30
+        n_rej = sum(1 for r in out if r["status"] == "rejected")
+        n_proc = sum(1 for r in out if r["status"] != "rejected")
+        assert n_rej > 0 and n_rej + n_proc == 30
