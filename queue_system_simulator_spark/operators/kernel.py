@@ -52,6 +52,7 @@ from typing import Any, Iterable
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 REJECTED = -1.0
@@ -315,23 +316,34 @@ def simulate(
     df: DataFrame,
     params: SimParams,
     group_cols: list[str] | None = None,
+    shards: int | None = None,
 ) -> DataFrame:
     """Distributed DES: one independent simulation per distinct group.
 
     ``df`` needs ``user_id, seq, sim_arrival_time, processing_time`` plus the
     group columns.  Returns the enriched timeline (SIM_RESULT shape + status
     and per-class enqueue totals).
+
+    ``shards``: when the grouping is fine (thousands of small independent
+    runs), per-group ``applyInPandas`` overhead (Arrow batch + pandas
+    construction per group) dominates the actual DES work.  Setting
+    ``shards=N`` hash-buckets groups into N coarse Arrow batches and runs
+    the per-group simulations inside each batch — identical results (the
+    per-group seed still derives from the GROUP key, so timelines and task
+    retries are unaffected), ~order-of-magnitude less per-call overhead.
+    At 100 TB pick N ≈ a few × total cores.
     """
     group_cols = group_cols or ["run_id"]
     in_schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     out_schema = kernel_result_schema(group_cols, [in_schema[c] for c in group_cols])
+    result_cols = [c for c, _ in KERNEL_RESULT_FIELDS]
 
-    def run_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_one(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = tuple(k.item() if hasattr(k, "item") else k for k in keys)
         rows = pdf.to_dict("records")
         # stable derived seed: identical on Spark task retry (quirk 3)
         seed_str = f"{params.seed}|" + "|".join(repr(k) for k in keys)
         out = simulate_events(rows, params, rng_seed=seed_str)
-        result_cols = [c for c, _ in KERNEL_RESULT_FIELDS]
         res = pd.DataFrame(out, columns=result_cols)
         res["used_api_id"] = res["used_api_id"].astype("Int32")
         for c, v in zip(group_cols, keys):
@@ -341,4 +353,20 @@ def simulate(
                 res.insert(0, c, v)
         return res[[c for c in out_schema.names]]
 
-    return df.groupBy(*group_cols).applyInPandas(run_group, out_schema)
+    if shards is None:
+        return df.groupBy(*group_cols).applyInPandas(run_one, out_schema)
+
+    shard_col = "__kernel_shard"
+    sharded = df.withColumn(
+        shard_col, F.pmod(F.xxhash64(*group_cols), F.lit(shards))
+    )
+
+    def run_shard(_keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=[shard_col])
+        outs = [
+            run_one(gk if isinstance(gk, tuple) else (gk,), gpdf)
+            for gk, gpdf in pdf.groupby(group_cols, sort=True)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return sharded.groupBy(shard_col).applyInPandas(run_shard, out_schema)

@@ -50,7 +50,7 @@ def _events_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kernel_fifo_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_micro(spark, sf_dir)
     params = SimParams(num_workers=1, queue_mode="fifo", queue_max_size=None)
-    res = simulate(df, params, group_cols=["user_id"])
+    res = simulate(df, params, group_cols=["user_id"], shards=64)
     m = 1_000_000
     return res.select(
         "user_id",
@@ -82,7 +82,7 @@ def q_kernel_fifo_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kernel_fifo_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_micro(spark, sf_dir)
     params = SimParams(num_workers=2, queue_mode="fifo", queue_max_size=3)
-    res = simulate(df, params, group_cols=["user_id"])
+    res = simulate(df, params, group_cols=["user_id"], shards=64)
     m = 1_000_000
     rejected = F.col("finish_processing_time_by_worker") == -1.0
     return res.select(
