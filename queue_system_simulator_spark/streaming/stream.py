@@ -23,6 +23,7 @@ kernel contract it must match).
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 from pathlib import Path
 
@@ -126,20 +127,31 @@ FIFO_STATE_OUTPUT = (
     "user_id string, seq long, arrival_s double, start_s double, "
     "finish_s double, queuing_s double"
 )
-FIFO_STATE_SCHEMA = "last_finish long"
+#: Per-SHARD state: a JSON map user_id → last service finish (integer µs).
+FIFO_STATE_SCHEMA = "finishes string"
+
+FIFO_STATE_SHARDS = 8
 
 
-def streaming_fifo_k1(events: DataFrame) -> DataFrame:
-    """Online FIFO/k=1 kernel via ``applyInPandasWithState``: one queue
-    state (last service finish, integer micros) per user, events processed
-    in event-time order within each microbatch.
+def streaming_fifo_k1(events: DataFrame, shards: int = FIFO_STATE_SHARDS) -> DataFrame:
+    """Online FIFO/k=1 kernel via ``applyInPandasWithState``.
 
     This is the stateful-streaming twin of the batch kernel's E1 special
     case (``operators/fifo.py``): ``start_i = max(arrival_i, finish_{i-1})``
     carried across microbatches in group state, so the drained stream output
     is bit-equal to the closed-form window SQL — which is exactly how the
     registered query is oracle-checked.
+
+    State is keyed by a hash SHARD of the user, holding a JSON map
+    user → last-finish (integer µs, exact).  Per-user state rows would be
+    the canonical Spark shape (RocksDB locality, per-key watermark
+    eviction), but with many thousands of tiny groups the per-group Arrow
+    batch overhead dominates in local mode; sharding keeps the Python
+    crossing count fixed.  The map stays bounded: one long per user seen —
+    swap ``shards`` for per-user keying when user cardinality ≫ memory.
     """
+    import json
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
@@ -148,23 +160,25 @@ def streaming_fifo_k1(events: DataFrame) -> DataFrame:
         batch = pd.concat(list(pdfs))
         if batch.empty:
             return
-        (last_finish,) = state.get if state.exists else (0,)
-        batch = batch.sort_values(["arrival_us", "seq"])
+        finishes = json.loads(state.get[0]) if state.exists else {}
+        batch = batch.sort_values(["user_id", "arrival_us", "seq"])
         out = []
         for r in batch.itertuples():
-            start = max(int(r.arrival_us), last_finish)
-            last_finish = start + int(r.processing_us)
+            last = finishes.get(r.user_id, 0)
+            start = max(int(r.arrival_us), last)
+            last = start + int(r.processing_us)
+            finishes[r.user_id] = last
             out.append(
                 (
-                    key[0],
+                    r.user_id,
                     r.seq,
                     r.arrival_us / 1e6,
                     start / 1e6,
-                    last_finish / 1e6,
+                    last / 1e6,
                     (start - r.arrival_us) / 1e6,
                 )
             )
-        state.update((last_finish,))
+        state.update((json.dumps(finishes),))
         yield pd.DataFrame(
             out,
             columns=[
@@ -182,8 +196,11 @@ def streaming_fifo_k1(events: DataFrame) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.unix_micros("ts").alias("arrival_us"),
         (F.round(F.col("value") * 100).cast("long") * 10_000).alias("processing_us"),
+        F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(shards)).alias(
+            "shard"
+        ),
     )
-    return keyed.groupBy("user_id").applyInPandasWithState(
+    return keyed.groupBy("shard").applyInPandasWithState(
         fn,
         outputStructType=FIFO_STATE_OUTPUT,
         stateStructType=FIFO_STATE_SCHEMA,
@@ -193,9 +210,29 @@ def streaming_fifo_k1(events: DataFrame) -> DataFrame:
 
 
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
-    """Drain a streaming aggregation with Trigger.AvailableNow into an
-    in-memory table; return the materialized DataFrame."""
+    """Drain a streaming query with Trigger.AvailableNow and return the
+    materialized result.
+
+    Aggregations (complete mode, small results) drain into an in-memory
+    table.  Append-mode row streams drain to a parquet sink instead —
+    executors write in parallel and the return stays lazy, where the memory
+    sink would serialize every row through the driver (at scale the parquet
+    path IS the deployment shape: stream → datalake files)."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    if output_mode == "append":
+        out_dir = Path(tempfile.gettempdir()) / "qss_spark_stream_out" / name
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", str(out_dir / "data"))
+            .option("checkpointLocation", str(out_dir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return result.sparkSession.read.schema(result.schema).parquet(
+            str(out_dir / "data")
+        )
     q = (
         result.writeStream.format("memory")
         .queryName(name)
