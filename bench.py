@@ -35,6 +35,9 @@ HEADLINE = [
     "revenue_by_nation",
     "top_orders_by_revenue",
     "order_priority_counts",
+    "asof_join_purchase",
+    "range_join_error_context",
+    "rollup_revenue",
     "dedup_exact",
     "text_stats",
     "minhash_lsh_pairs",

@@ -90,6 +90,65 @@ def q_asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_error_context",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       count(c.event_id) AS n_clicks_60s
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) >= epoch_us(e.ts) - 60000000
+ AND epoch_us(c.ts) <  epoch_us(e.ts)
+GROUP BY e.event_id, e.user_id
+""",
+    description="Range join: clicks of the same user in the 60 s before "
+    "each error. Spark shape: both sides bucketed to 60 s, probe side "
+    "exploded to its 2 candidate buckets, equi-join on (user, bucket) + "
+    "exact range filter — bounded fan-out instead of a per-user cross "
+    "product, and the bucket in the join key diffuses hot-user skew. "
+    "Oracle is the plain inequality join.",
+)
+def q_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_us = 60_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("tus").alias("c_tus"),
+        F.floor(F.col("tus") / bucket_us).alias("bucket"),
+    )
+    probes = errors.select(
+        "event_id",
+        "user_id",
+        "tus",
+        F.explode(
+            F.array(
+                F.floor(F.col("tus") / bucket_us),
+                F.floor(F.col("tus") / bucket_us) - 1,
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        probes.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (probes["bucket"] == clicks["bucket"])
+            & (F.col("c_tus") >= F.col("tus") - bucket_us)
+            & (F.col("c_tus") < F.col("tus")),
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return errors.join(matched, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks_60s"),
+    )
+
+
+@register(
     "rollup_revenue",
     oracle=f"""
 SELECT coalesce(n_name, 'ALL') AS nation,
