@@ -1,0 +1,119 @@
+"""Property-based invariants for the DES kernel (hypothesis).
+
+The reference ships only example-based tests (SURVEY §5); these properties
+pin the semantics for arbitrary workloads:
+
+* FIFO/k=1 kernel ≡ the closed-form recurrence (the E1 special case that
+  the SQL oracle is built on) on ANY input;
+* lifecycle invariants (start ≥ arrival, finish = start + proc, input
+  conservation) for any worker count / queue mode / seed;
+* at most k tasks ever in service simultaneously;
+* the rate limiter never admits more than RPM calls per API in any sliding
+  60 s window.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from queue_system_simulator_spark.operators.kernel import (
+    SimParams,
+    _RateLimiter,
+    simulate_events,
+)
+
+# integer-second arrivals/durations keep the arithmetic exact
+_events = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _mk(rows):
+    return [
+        {"seq": i, "sim_arrival_time": float(a), "processing_time": float(p)}
+        for i, (a, p) in enumerate(rows)
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events)
+def test_fifo_k1_matches_closed_form(rows):
+    out = simulate_events(
+        _mk(rows), SimParams(num_workers=1, queue_mode="fifo", queue_max_size=None)
+    )
+    by_arrival = sorted(out, key=lambda r: (r["sim_arrival_time"], r["seq"]))
+    prev_finish = 0.0
+    first = True
+    for r in by_arrival:
+        expected_start = (
+            r["sim_arrival_time"]
+            if first
+            else max(r["sim_arrival_time"], prev_finish)
+        )
+        first = False
+        assert r["start_processing_time_by_worker"] == expected_start
+        assert (
+            r["finish_processing_time_by_worker"]
+            == expected_start + r["processing_time"]
+        )
+        prev_finish = r["finish_processing_time_by_worker"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _events,
+    st.integers(1, 4),
+    st.sampled_from(["fifo", "priority"]),
+    st.integers(0, 3),
+)
+def test_lifecycle_invariants(rows, k, mode, seed):
+    out = simulate_events(
+        _mk(rows), SimParams(num_workers=k, queue_mode=mode, seed=seed)
+    )
+    assert sorted(r["seq"] for r in out) == list(range(len(rows)))  # conservation
+    for r in out:
+        assert r["status"] != "rejected"  # unbounded queues never reject
+        assert r["arrival_time_in_queue"] >= r["sim_arrival_time"]
+        assert r["start_processing_time_by_worker"] >= r["arrival_time_in_queue"]
+        assert (
+            r["finish_processing_time_by_worker"]
+            == r["start_processing_time_by_worker"] + r["processing_time"]
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(_events, st.integers(1, 3))
+def test_at_most_k_in_service(rows, k):
+    out = simulate_events(_mk(rows), SimParams(num_workers=k, queue_mode="fifo"))
+    # sweep service intervals [start, finish): concurrency must stay <= k
+    points = []
+    for r in out:
+        points.append((r["start_processing_time_by_worker"], 1))
+        points.append((r["finish_processing_time_by_worker"], -1))
+    active = 0
+    for _, delta in sorted(points, key=lambda p: (p[0], p[1])):
+        active += delta
+        assert active <= k
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 600), min_size=1, max_size=300),
+    st.integers(1, 3),
+    st.integers(1, 10),
+)
+def test_rate_limiter_window_bound(times, num_apis, rpm):
+    lim = _RateLimiter(num_apis=num_apis, rpm_limit=rpm)
+    granted: list[tuple[float, int]] = []
+    for t in sorted(times):
+        api = lim.acquire(float(t))
+        if api is not None:
+            granted.append((float(t), api))
+    for now, api in granted:
+        in_window = [
+            t for t, a in granted if a == api and now - t <= 60.0 and t <= now
+        ]
+        assert len(in_window) <= rpm
