@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from queue_system_simulator_spark.plans import QUERIES  # noqa: E402
 from queue_system_simulator_spark.schema import TABLE_NAMES, load_table  # noqa: E402
 from queue_system_simulator_spark.session import get_spark  # noqa: E402
@@ -57,9 +59,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # warmup: JVM + parquet footers
+    # warmup: JVM + parquet footers + the Python-UDF worker pool (pandas
+    # UDF queries otherwise pay one-time Arrow/worker init on first use)
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
+    import pandas as _pd
+
+    spark.range(128).groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda pdf: _pd.DataFrame({"n": [len(pdf)]}), "n long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -71,6 +79,12 @@ def main() -> None:
         else:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries cache intermediates (shingle/signature frames); drop them so
+        # storage memory can't bleed pressure into later timings, and nudge
+        # the JVM so the context cleaner releases broadcast/shuffle debt
+        # before the next timed query instead of mid-flight
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from py4j.protocol import Py4JJavaError
+from pyspark.sql import functions as F
 
 from queue_system_simulator_spark.sources import (
     generate_sample_requests,
@@ -96,3 +97,41 @@ def test_generator_deterministic_and_sorted(spark):
     assert ts == sorted(ts)
     for r in ra:
         assert 1.0 <= r["processing_time"] <= 10.0
+
+
+class TestSinks:
+    def test_write_datalake_partition_pruning(self, spark, sf_dir, tmp_path):
+        from queue_system_simulator_spark.schema import load_table
+        from queue_system_simulator_spark.sources.sink import write_datalake
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        out = str(tmp_path / "lake")
+        write_datalake(ev, out, partition_by=["event_type"], sort_within=["ts"])
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
+        # hive-style partition dirs exist → readers prune on event_type
+        import os
+
+        subdirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+        assert "event_type=click" in subdirs
+        # reading one partition dir yields exactly that slice
+        clicks = spark.read.parquet(f"{out}/event_type=click")
+        assert clicks.count() == ev.filter(F.col("event_type") == "click").count()
+
+    def test_write_requests_csv_roundtrip(self, spark, tmp_path):
+        from queue_system_simulator_spark.sources.csv_source import (
+            read_requests_csv,
+        )
+        from queue_system_simulator_spark.sources.generator import (
+            generate_sample_requests,
+        )
+        from queue_system_simulator_spark.sources.sink import write_requests_csv
+
+        gen = generate_sample_requests(spark, num_users=3, max_requests_per_user=4)
+        out = str(tmp_path / "req_csv")
+        write_requests_csv(gen, out, single_file=True)
+        back = read_requests_csv(spark, out)
+        assert back.count() == gen.count()
+        assert set(back.columns) >= {"user_id", "request_time", "processing_time"}
