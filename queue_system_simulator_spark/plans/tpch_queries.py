@@ -203,3 +203,82 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
     semi = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
     return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+    description="TPC-H Q3 (shipping priority, adapted to this schema): "
+    "segment-filtered customer dim broadcast into orders, date filters "
+    "pushed to both parquet scans, top-10 via TakeOrdered (no global "
+    "sort shuffle).",
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1996-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "cube_part_sales",
+    oracle=f"""
+SELECT coalesce(p.p_brand, 'ALL') AS brand,
+       coalesce(l.l_returnflag, 'ALL') AS returnflag,
+       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY CUBE (p.p_brand, l.l_returnflag)
+""",
+    description="CUBE over (brand, returnflag): all four grouping sets in "
+    "one pass (partial-aggregated Expand), part dim broadcast; subtotals "
+    "labeled 'ALL' for engine-portable hashing.",
+)
+def q_cube_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .cube("p_brand", "l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("p_brand"), F.lit("ALL")).alias("brand"),
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            "sum_qty",
+            "revenue",
+        )
+    )

@@ -57,6 +57,58 @@ def test_streaming_fifo_state_matches_batch_closed_form(spark, sf_dir):
     assert s == b
 
 
+def test_streaming_fifo_state_across_microbatches(spark, sf_dir, tmp_path):
+    """State must CARRY across microbatches: split the log into 3 time-
+    ordered files, force one file per trigger, and require the same result
+    as the single-batch closed form."""
+    import os
+    import time as _time
+
+    from queue_system_simulator_spark.operators.fifo import fifo_k1_timeline
+    from queue_system_simulator_spark.streaming.stream import (
+        run_available_now,
+        streaming_fifo_k1,
+    )
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    thirds = ev.select(F.ntile(3).over(Window.orderBy("ts")).alias("part"), "*")
+    src = tmp_path / "split_events"
+    for i in (1, 2, 3):
+        part_dir = tmp_path / f"p{i}"
+        thirds.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part_dir))
+        src.mkdir(exist_ok=True)
+        fn = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / fn, src / f"{i:03d}.parquet")
+        # FileStreamSource orders by modification time: stagger mtimes so
+        # batches arrive in event-time order
+        _time.sleep(0.01)
+        os.utime(src / f"{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+
+    raw_schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    streamed = run_available_now(streaming_fifo_k1(stream), output_mode="append")
+    batch = fifo_k1_timeline(ev, ts_col="ts", proc_col="value").select(
+        F.col("group_id").cast("string").alias("user_id"),
+        "seq",
+        "arrival_s",
+        "start_s",
+        "finish_s",
+        "queuing_s",
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_session_counts_cover_all_events(spark, sf_dir):
     from queue_system_simulator_spark.streaming.stream import session_counts
 
