@@ -450,6 +450,74 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_GRAM = 8  # tokens per fingerprint window
+WINNOW_W = 4  # winnowing window (guarantee: any match ≥ GRAM+W-1 tokens shares a print)
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+WITH grams AS (
+  SELECT d.doc_id, s.i AS pos,
+         md5(array_to_string(t.tokens[s.i:s.i + {WINNOW_GRAM} - 1], ' ')) AS gh
+  FROM documents d,
+       LATERAL (SELECT string_split(d.text, ' ') AS tokens) t,
+       LATERAL (SELECT unnest(generate_series(1,
+                  greatest(len(t.tokens) - {WINNOW_GRAM} + 1, 0))) AS i) s
+)
+SELECT DISTINCT g.doc_id, w.sel AS fingerprint
+FROM (SELECT doc_id, max(pos) AS maxpos FROM grams GROUP BY doc_id) m
+JOIN LATERAL (SELECT unnest(generate_series(1, CAST(m.maxpos - {WINNOW_W} + 1 AS BIGINT))) AS wstart) ws ON true
+JOIN grams g ON g.doc_id = m.doc_id AND g.pos = ws.wstart
+JOIN LATERAL (
+  SELECT min(g2.gh) AS sel FROM grams g2
+  WHERE g2.doc_id = m.doc_id
+    AND g2.pos BETWEEN ws.wstart AND ws.wstart + {WINNOW_W} - 1
+) w ON true
+""",
+    description="Winnowing fingerprints (the MOSS rolling-hash scheme): "
+    f"hash every {WINNOW_GRAM}-token gram, slide a {WINNOW_W}-window over "
+    "the hash sequence, keep each window's minimum, dedupe — any shared "
+    "run of ≥ 11 tokens between two documents is guaranteed to share a "
+    "fingerprint. Spark shape: one tokenize + gram explode, a per-doc "
+    "RANGE window min, distinct — constant-factor fan-out, one shuffle.",
+)
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.repartition(32).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {WINNOW_GRAM} + 1, 0)), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, {WINNOW_GRAM})))"
+        " AS gh))"
+    )
+    gh = toked.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.pos", "g.gh"
+    )
+    # winnow: min gram-hash over each [pos, pos+W-1] window; window starts
+    # are valid only up to maxpos - W + 1
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rangeBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wmax = Window.partitionBy("doc_id")
+    return (
+        gh.select(
+            "doc_id",
+            "pos",
+            F.min("gh").over(w).alias("sel"),
+            F.max("pos").over(wmax).alias("maxpos"),
+        )
+        .filter(F.col("pos") <= F.col("maxpos") - (WINNOW_W - 1))
+        .select("doc_id", F.col("sel").alias("fingerprint"))
+        .distinct()
+    )
+
+
 _QUALITY_CASE = """
 round(
   0.4 * (CASE WHEN length(text) BETWEEN 150 AND 450 THEN 1.0

@@ -231,6 +231,33 @@ def q_fifo_stats_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fifo_stats(q_fifo_timeline(spark, sf_dir), group=True)
 
 
+@register(
+    "fifo_stats_approx",
+    oracle=None,  # approx_percentile (Greenwald-Khanna) is intentionally not
+    # value-comparable to an exact oracle; correctness is bounded-error vs
+    # fifo_stats (asserted in tests/test_statistics.py)
+    description="The 100 TB escape hatch (SURVEY §7 'what's hard' #3): same "
+    "stats as fifo_stats but with approx_percentile(…, accuracy=10000) — "
+    "a mergeable fixed-size sketch, so the global percentile needs no "
+    "full-shuffle of values like exact percentile does. Use for "
+    "monitoring/dashboards; keep exact percentiles for oracle-checked "
+    "reporting.",
+)
+def q_fifo_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = q_fifo_timeline(spark, sf_dir)
+    qsec = F.col("queuing_us") / 1_000_000
+    pq = F.percentile_approx(qsec, [0.5, 0.75, 0.9, 0.99], 10_000)
+    return tl.agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.round(F.sum("queuing_us").cast("double") / F.count(F.lit(1)) / 1e6, 6)
+        .alias("avg_queuing_time"),
+        F.round(pq[0], 6).alias("p50_approx"),
+        F.round(pq[1], 6).alias("p75_approx"),
+        F.round(pq[2], 6).alias("p90_approx"),
+        F.round(pq[3], 6).alias("p99_approx"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Synthetic sim-result table exercising every statistics quirk (C1,C2,C4,
 # G1-G5, D2).  Deterministic quirk injection on top of the FIFO timeline:

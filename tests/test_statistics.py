@@ -133,3 +133,19 @@ def test_stats_grouped(spark):
     out = queuing_time_stats(df, group_cols=["grp"]).collect()
     assert len(out) == 1 and out[0]["grp"] == "g1"
     assert abs(out[0]["avg_queuing_time"] - 1.0) < 1e-12
+
+
+def test_approx_percentiles_within_bounded_error(spark, sf_dir):
+    """fifo_stats_approx must track the exact percentiles closely at this
+    accuracy (rank error <= n/accuracy; values here are well-spread)."""
+    from queue_system_simulator_spark.plans import QUERIES
+
+    exact = QUERIES["fifo_stats"].build(spark, sf_dir).collect()[0]
+    approx = QUERIES["fifo_stats_approx"].build(spark, sf_dir).collect()[0]
+    assert approx.processed == exact.processed
+    assert abs(approx.avg_queuing_time - exact.avg_queuing_time) < 1e-9
+    for p in ("50", "75", "90", "99"):
+        e = exact[f"p{p}"]
+        a = approx[f"p{p}_approx"]
+        scale = max(abs(e), 1.0)
+        assert abs(a - e) / scale < 0.05, (p, e, a)
