@@ -232,6 +232,24 @@ def q_fifo_stats_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "generate_requests",
+    oracle=None,  # rand(seed) streams differ across engines by design;
+    # determinism within Spark is covered by tests/test_sources.py
+    description="A6 synthetic request-log generator as a query surface: "
+    "spark.range + rand(seed) + per-user running-sum window for cumulative "
+    "arrivals — fully distributed, no driver loop; the only shuffle is the "
+    "per-user window partition (reference "
+    "/root/reference/scripts/generate_sample_data.py:10-39).",
+)
+def q_generate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.sources.generator import (
+        generate_sample_requests,
+    )
+
+    return generate_sample_requests(spark, num_users=50, max_requests_per_user=20)
+
+
+@register(
     "fifo_stats_approx",
     oracle=None,  # approx_percentile (Greenwald-Khanna) is intentionally not
     # value-comparable to an exact oracle; correctness is bounded-error vs
