@@ -111,7 +111,9 @@ def q_kernel_fifo_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kernel_priority_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     df = ev.select(
-        (F.col("user_id") % 8).alias("run_id"),
+        # one independent scenario per user-shard; 32 shards = one per core
+        # locally, and the axis that scales to millions of runs on a cluster
+        (F.col("user_id") % 32).alias("run_id"),
         F.col("user_id").cast("string").alias("user_id"),
         F.col("event_id").alias("seq"),
         ((F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) / 1_000_000).alias(
