@@ -917,6 +917,94 @@ def q_embed_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NUM_LSH_PLANES = 4  # 16 buckets — sized to the test corpus; more at scale
+EMBED_DIMS = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) derives
+    from md5 — identical constants are embedded in the Spark plan and the
+    DuckDB oracle, so the planes are *configuration*, not runtime state."""
+    import hashlib
+
+    planes = []
+    for p in range(NUM_LSH_PLANES):
+        row = []
+        for d in range(EMBED_DIMS):
+            h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()
+            row.append(round(int(h[:8], 16) / 0x7FFFFFFF - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+@register(
+    "embed_lsh_bucket_topk",
+    oracle=(
+        lambda planes: f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, label, v,
+         concat({", ".join(
+             "CASE WHEN list_dot_product(v, "
+             + "[" + ", ".join(f"{c!r}" for c in planes[p]) + "]"
+             + ") >= 0 THEN '1' ELSE '0' END"
+             for p in range(NUM_LSH_PLANES)
+         )}) AS bucket
+  FROM e
+),
+q AS (SELECT v AS qv, bucket AS qb FROM sig WHERE vec_id = 0)
+SELECT s.vec_id, s.label, s.bucket,
+       round(list_dot_product(q.qv, s.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(s.v, s.v))), 6) AS cosine_sim
+FROM sig s, q
+WHERE s.bucket = q.qb AND s.vec_id != 0
+ORDER BY cosine_sim DESC, s.vec_id
+LIMIT 10
+"""
+    )(_lsh_planes()),
+    description="LSH-bucketed ANN: 8 random-hyperplane sign bits → bucket; "
+    "search only the query's bucket, exact cosine inside it. The bucket is "
+    "computed scan-side (map-only), so at 100 TB the candidate fetch is a "
+    "partition-prunable equality filter — no shuffle, no index build; "
+    "hyperplanes are deterministic md5-derived constants shared with the "
+    "oracle.",
+)
+def q_embed_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _lsh_planes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    bucket = F.concat(
+        *[
+            F.when(
+                _dot(F.col("v"), F.array(*[F.lit(c) for c in planes[p]])) >= 0,
+                "1",
+            ).otherwise("0")
+            for p in range(NUM_LSH_PLANES)
+        ]
+    )
+    sig = emb.select("vec_id", "label", "v", bucket.alias("bucket"))
+    q = sig.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    return (
+        sig.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", "bucket", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @register(
     "embed_near_dup_pairs",
     oracle=f"""
