@@ -282,3 +282,115 @@ def q_cube_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    description="TPC-H Q6 revenue-change forecast: pure filter+aggregate — "
+    "every predicate pushes to the parquet scan, zero shuffles before the "
+    "single-row final aggregation.",
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * F.col("l_discount").cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_priority_by_flag",
+    oracle="""
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+""",
+    description="TPC-H Q12 pattern (priority class mix per flag): "
+    "conditional-sum pivot after an equi-join; date filter pushed to the "
+    "lineitem scan, map-side partial aggregation.",
+)
+def q_tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle=f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                   THEN {_DISC_PRICE_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+    description="TPC-H Q14 promo revenue share: broadcast part dim, "
+    "conditional ratio in exact decimals rounded once at the end.",
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _disc_price()
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_disc_price()).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
