@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from queue_system_simulator_spark.operators.fifo import fifo_k1_timeline_sql
 from queue_system_simulator_spark.plans.registry import register
 from queue_system_simulator_spark.streaming.stream import (
+    interval_join_purchase_clicks,
     run_available_now,
     session_counts,
     sliding_api_load,
@@ -93,6 +94,29 @@ GROUP BY user_id, sid
 def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
     return run_available_now(session_counts(stream))
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+""",
+    description="Stream-stream interval join (watermarked both sides): "
+    "purchases matched to the same user's clicks within the preceding "
+    "10 min; watermarks bound the buffered-click state so the join runs "
+    "indefinitely. Oracle is the equivalent batch inequality join.",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(
+        interval_join_purchase_clicks(stream), output_mode="append"
+    )
 
 
 @register(

@@ -209,6 +209,50 @@ def streaming_fifo_k1(events: DataFrame, shards: int = FIFO_STATE_SHARDS) -> Dat
     )
 
 
+def interval_join_purchase_clicks(
+    events: DataFrame, lookback: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback``.
+
+    Both sides are watermarked so Spark can bound the join state: a
+    buffered click can be dropped once the purchase-side watermark passes
+    ``click.ts + lookback`` — the state-cleanup contract that makes
+    stream-stream joins runnable indefinitely (the reference has no
+    multi-stream concept at all; SURVEY §2.G streaming extensions)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts >= p_ts - interval {lookback} "
+            "AND c_ts <= p_ts"
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming query with Trigger.AvailableNow and return the
     materialized result.
