@@ -7,6 +7,7 @@ from queue_system_simulator_spark.plans.registry import (  # noqa: F401
 
 # importing these modules populates the registry
 from queue_system_simulator_spark.plans import (  # noqa: F401,E402
+    analytics_queries,
     reference_queries,
     tpch_queries,
     llm_queries,

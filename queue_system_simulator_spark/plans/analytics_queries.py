@@ -1,0 +1,104 @@
+"""Event-log product analytics: ordered funnel and retention cohorts.
+
+The request/event log the reference simulates is exactly the input of
+standard product analytics; these queries round out the engine's "a
+reference user can run their whole workload here" story with the two
+classics every event pipeline needs.  Week arithmetic is integer weeks
+since the Unix epoch (``epoch_us // (7*86400*1e6)``) so both engines bucket
+identically regardless of locale week rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queue_system_simulator_spark.plans.registry import register
+from queue_system_simulator_spark.schema import load_table
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+""",
+    description="Ordered conversion funnel (view → later click → later "
+    "purchase) per user: three stage frames built by min-timestamp "
+    "chaining — each stage is one groupBy + one join, no window over the "
+    "full log, counts collapse map-side.",
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+
+    def stage(etype: str, after: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if after is not None:
+            e = e.join(after, "user_id").filter(F.col("tus") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("tus").alias("t"))
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+WITH first_wk AS (
+  SELECT user_id, min(epoch_us(ts) // {_WEEK_US}) AS w0
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, epoch_us(e.ts) // {_WEEK_US} AS w
+  FROM events e
+)
+SELECT f.w0 AS cohort_week,
+       CAST(a.w - f.w0 AS BIGINT) AS week_offset,
+       count(*) AS n_active_users
+FROM activity a JOIN first_wk f ON a.user_id = f.user_id
+GROUP BY f.w0, a.w - f.w0
+""",
+    description="Retention cohort matrix: users bucketed by first-seen "
+    "week, activity counted per (cohort, week offset). Two aggregations "
+    "and one join on user_id; the distinct-activity frame shuffles "
+    "(user, week) pairs, never raw events.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / _WEEK_US).cast("long").alias("w")
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("w").alias("w0"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_wk, "user_id")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
