@@ -556,3 +556,40 @@ def q_queue_depth_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("queue_depth").cast("long").alias("max_queue_depth"),
         F.count(F.lit(1)).alias("n_changes"),
     )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    description="Semi-structured JSON column handling: parse the events "
+    "props payload with from_json against an explicit schema (JVM-side, "
+    "no UDF) and aggregate the extracted field — the schema-on-read path "
+    "for property bags in a 100 TB event lake.",
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    k = F.from_json("props", props_schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
