@@ -135,3 +135,24 @@ class TestSinks:
         back = read_requests_csv(spark, out)
         assert back.count() == gen.count()
         assert set(back.columns) >= {"user_id", "request_time", "processing_time"}
+
+
+class TestJsonSource:
+    def test_json_lines_roundtrip(self, spark, tmp_path):
+        from queue_system_simulator_spark.sources.csv_source import (
+            read_requests_json,
+        )
+
+        p = tmp_path / "req.jsonl"
+        p.write_text(
+            '{"user_id": "u1", "request_time": "2023-01-01T00:00:01.500000Z",'
+            ' "processing_time": 2.5}\n'
+            '{"user_id": "u2", "request_time": "2023-01-01T00:00:02Z",'
+            ' "processing_time": 4.0}\n'
+        )
+        df = read_requests_json(spark, str(p))
+        rows = df.orderBy("user_id").collect()
+        assert len(rows) == 2
+        assert rows[0].user_id == "u1"
+        assert rows[0].processing_time == 2.5
+        assert rows[0].request_time.microsecond == 500000
