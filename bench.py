@@ -73,12 +73,16 @@ def main() -> None:
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.time()
-        df = spec.build(spark, sf_dir)
-        if df.isStreaming:  # pragma: no cover - streaming queries return batch
-            df.count()
-        else:
-            df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = spec.build(spark, sf_dir)
+            if df.isStreaming:  # pragma: no cover - streaming returns batch
+                df.count()
+            else:
+                df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # one regression must not kill the suite
+            print(f"FAILED {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
         # queries cache intermediates (shingle/signature frames); drop them so
         # storage memory can't bleed pressure into later timings, and nudge
         # the JVM so the context cleaner releases broadcast/shuffle debt
@@ -86,7 +90,7 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t > 0), 3)
     print(
         json.dumps(
             {

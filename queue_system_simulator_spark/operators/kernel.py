@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import random
 from collections import deque
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any, Iterable
 
 import pandas as pd
@@ -370,3 +370,48 @@ def simulate(
         return pd.concat(outs, ignore_index=True)
 
     return sharded.groupBy(shard_col).applyInPandas(run_shard, out_schema)
+
+
+def simulate_sweep(
+    df: DataFrame,
+    base_params: SimParams,
+    group_cols: list[str],
+    param_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parameter-sweep DES: each group carries its OWN scenario parameters
+    in columns (constant within the group) — one Spark job simulates every
+    (scenario × tenant) combination concurrently.
+
+    ``param_cols`` maps SimParams field → column name, e.g.
+    ``{"num_workers": "k", "rpm_limit": "rpm"}``.  This is the 100 TB
+    posture made literal: a million-cell sweep is just a million groups.
+    """
+    param_cols = param_cols or {}
+    group_cols = list(group_cols)
+    in_schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    out_schema = kernel_result_schema(group_cols, [in_schema[c] for c in group_cols])
+    result_cols = [c for c, _ in KERNEL_RESULT_FIELDS]
+
+    def run_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = tuple(k.item() if hasattr(k, "item") else k for k in keys)
+        overrides = {
+            field: pdf[col].iloc[0].item()
+            if hasattr(pdf[col].iloc[0], "item")
+            else pdf[col].iloc[0]
+            for field, col in param_cols.items()
+        }
+
+        params = replace(base_params, **overrides)
+        rows = pdf.drop(columns=list(param_cols.values())).to_dict("records")
+        seed_str = f"{params.seed}|" + "|".join(repr(k) for k in keys)
+        out = simulate_events(rows, params, rng_seed=seed_str)
+        res = pd.DataFrame(out, columns=result_cols)
+        res["used_api_id"] = res["used_api_id"].astype("Int32")
+        for c, v in zip(group_cols, keys):
+            if c in res.columns:
+                res[c] = v
+            else:
+                res.insert(0, c, v)
+        return res[[c for c in out_schema.names]]
+
+    return df.groupBy(*group_cols).applyInPandas(run_group, out_schema)

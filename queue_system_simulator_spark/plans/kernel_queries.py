@@ -145,3 +145,51 @@ def q_kernel_priority_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority_enqueued_total",
         "normal_enqueued_total",
     )
+
+
+@register(
+    "kernel_param_sweep",
+    oracle=None,  # RNG/limiter-coupled like the single-scenario kernel runs
+    description="Scenario-sweep: ONE job simulates a 6-cell parameter grid "
+    "(workers 1/2/4 x RPM 30/60) x 8 user-shards = 48 independent DES "
+    "groups, each group reading its own params from columns "
+    "(simulate_sweep); output is per-scenario aggregate stats. This is the "
+    "100 TB posture made literal - a million-cell sweep is just a million "
+    "groups.",
+)
+def q_kernel_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.operators.kernel import simulate_sweep
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 8).alias("tenant"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_id").alias("seq"),
+        ((F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) / 1_000_000).alias(
+            "sim_arrival_time"
+        ),
+        F.col("value").alias("processing_time"),
+    )
+    grid = spark.createDataFrame(
+        [(k, rpm) for k in (1, 2, 4) for rpm in (30, 60)], "k int, rpm int"
+    )
+    swept = base.crossJoin(F.broadcast(grid))
+    params = SimParams(queue_mode="priority", seed=42)
+    res = simulate_sweep(
+        swept,
+        params,
+        group_cols=["k", "rpm", "tenant"],
+        param_cols={"num_workers": "k", "rpm_limit": "rpm"},
+    )
+    qt = F.col("start_processing_time_by_worker") - F.col("arrival_time_in_queue")
+    return (
+        res.groupBy("k", "rpm")
+        .agg(
+            F.count(F.lit(1)).alias("processed"),
+            F.round(F.avg(qt), 6).alias("avg_queuing_time"),
+            F.sum(
+                F.when(F.col("status") == "failed_api_limit", 1).otherwise(0)
+            ).cast("long").alias("n_api_limited"),
+        )
+        .orderBy("k", "rpm")
+    )

@@ -248,3 +248,20 @@ class TestBoundedFifoRejection:
         n_rej = sum(1 for r in out if r["status"] == "rejected")
         n_proc = sum(1 for r in out if r["status"] != "rejected")
         assert n_rej > 0 and n_rej + n_proc == 30
+
+
+class TestParamSweep:
+    def test_sweep_monotonic_in_workers(self, spark, sf_dir):
+        from queue_system_simulator_spark.plans import QUERIES
+
+        rows = QUERIES["kernel_param_sweep"].build(spark, sf_dir).collect()
+        assert len(rows) == 6  # 3 worker counts x 2 rpm limits
+        by_cell = {(r.k, r.rpm): r for r in rows}
+        n_events = None
+        for (k, rpm), r in by_cell.items():
+            n_events = r.processed if n_events is None else n_events
+            assert r.processed == n_events  # every cell simulates all events
+        for rpm in (30, 60):
+            q1 = by_cell[(1, rpm)].avg_queuing_time
+            q4 = by_cell[(4, rpm)].avg_queuing_time
+            assert q4 <= q1 + 1e-9  # more workers never increase queuing
