@@ -345,7 +345,10 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Values are identical to the per-seed-explode formulation (and oracle).
     """
-    sh = _shingles(spark, sf_dir)
+    # sh feeds BOTH the vocab branch and the doc-shingle join below — cache
+    # it or the tokenize+explode+distinct runs twice (visible as a doubled
+    # parquet scan in explain())
+    sh = _shingles(spark, sf_dir).cache()
     hashed = sh.select("shingle").distinct().select(
         "shingle",
         *[
