@@ -102,3 +102,70 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "user_activity_similarity",
+    oracle=f"""
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hr, count(*) AS n
+  FROM events GROUP BY user_id, epoch_us(ts) // {_HOUR_US}
+),
+norms AS (SELECT user_id, sqrt(sum(n * n)) AS nrm FROM h GROUP BY user_id),
+dots AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(sum(a.n * b.n) AS DOUBLE) AS dot
+  FROM h a JOIN h b ON a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT d.user_a, d.user_b,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+FROM dots d
+JOIN norms na ON d.user_a = na.user_id
+JOIN norms nb ON d.user_b = nb.user_id
+ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC, d.user_a, d.user_b
+LIMIT 20
+""",
+    description="Time-series similarity search: users as hourly activity "
+    "count vectors, cosine via the inverted-index formulation (join on "
+    "hour bucket, never materializing dense vectors) — the sparse-join "
+    "pattern that scales to billions of (user, hour) cells; top-20 most "
+    "similar user pairs.",
+)
+def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "user_id", (F.unix_micros("ts") / _HOUR_US).cast("long").alias("hr")
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norms = h.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("nrm")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nb"))
+    sim = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(F.broadcast(na), "user_a")
+        .join(F.broadcast(nb), "user_b")
+        .select("user_a", "user_b", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "user_a", "user_b")
+        .limit(20)
+    )
