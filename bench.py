@@ -51,6 +51,22 @@ HEADLINE = [
     "multimodal_features",
     "streaming_tumbling_counts",
     "streaming_fifo_state",
+    # breadth tier: relational/analytics/text extensions
+    "tpch_q3_shipping",
+    "tpch_q6_forecast",
+    "tpch_q12_priority_by_flag",
+    "tpch_q14_promo_share",
+    "cube_part_sales",
+    "window_topn_orders",
+    "setops_customer_segments",
+    "doc_quality_score",
+    "doc_winnow_fingerprints",
+    "embed_lsh_bucket_topk",
+    "json_props_extract",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "user_activity_similarity",
+    "kernel_param_sweep",
 ]
 
 

@@ -264,16 +264,22 @@ GROUP BY CUBE (p.p_brand, l.l_returnflag)
     "labeled 'ALL' for engine-portable hashing.",
 )
 def q_cube_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-aggregate per (partkey, returnflag) BEFORE the Expand: decimal
+    # sums re-aggregate exactly, and the 4x grouping-set row multiplication
+    # then runs over |parts|x|flags| partials instead of every lineitem
+    # (2.4M expanded rows -> 240k at sf0.1; the ratio grows with scale)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pre = li.groupBy("l_partkey", "l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q_part"),
+        F.sum(_disc_price()).alias("r_part"),
+    )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        pre.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .cube("p_brand", "l_returnflag")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_qty"),
-            F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+            F.round(F.sum("q_part"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("r_part"), 2).cast("double").alias("revenue"),
         )
         .select(
             F.coalesce(F.col("p_brand"), F.lit("ALL")).alias("brand"),

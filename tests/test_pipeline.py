@@ -72,3 +72,34 @@ def test_fifo_bounded_mode_rejects_and_renders_nan_safe(spark, tmp_path):
     assert s.rejected > 0 and s.processed + s.rejected == 6
     assert not math.isnan(s.avg_queuing_time)
     assert render_report(res)  # renders without error
+
+
+def test_run_col_scenario_sweep(spark, tmp_path):
+    # run_col partitions the log into independent simulations: per-user
+    # FIFO queues never interact, so each user's timeline is the
+    # single-user closed form
+    rows = ["user_id,request_time,processing_time"]
+    for u in ("a", "b"):
+        for i in range(4):
+            rows.append(f"user_{u},2023-01-01T00:00:0{i}Z,10.0")
+    p = tmp_path / "two_runs.csv"
+    p.write_text("\n".join(rows) + "\n")
+    res = run_pipeline(
+        spark, str(p), queue_mode="fifo", run_col="user_id", num_workers=1
+    )
+    tl = res.timeline.collect()
+    assert len(tl) == 8
+    by_user = {}
+    for r in tl:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, urows in by_user.items():
+        urows.sort(key=lambda r: r.sim_arrival_time)
+        prev_finish = None
+        for i, r in enumerate(urows):
+            expected_start = (
+                r.sim_arrival_time
+                if i == 0
+                else max(r.sim_arrival_time, prev_finish)
+            )
+            assert r.start_processing_time_by_worker == expected_start
+            prev_finish = r.finish_processing_time_by_worker
