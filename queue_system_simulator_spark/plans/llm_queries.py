@@ -742,6 +742,100 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PAIRS_SQL = f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT l.doc_id, l.cluster_id,
+       count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       CAST(l.doc_id = l.cluster_id AS BOOLEAN) AS is_canonical
+FROM lbl l
+""",
+    description="Near-dup CLUSTERING (the dedup endgame): connected "
+    "components over the MinHash-LSH pair graph via iterative min-label "
+    "propagation — each round one join + one aggregate, driver loops until "
+    "fixpoint (≤ graph diameter rounds, the standard Spark iterative-"
+    "algorithm shape); every doc labeled with its component's minimum "
+    "doc_id, canonical = keeper. Oracle: DuckDB recursive-CTE transitive "
+    "closure.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    for _ in range(20):  # diameter bound; tiny vs corpus size
+        neigh = (
+            sym.join(labels, sym["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("cluster_id").alias("old")),
+                "doc_id",
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search
 # --------------------------------------------------------------------------

@@ -41,3 +41,15 @@ def test_dedup_exact_partitions_corpus(spark, sf_dir):
     total_docs = load_table(spark, sf_dir, "documents").count()
     agg = dedup.groupBy().sum("n_copies").collect()[0][0]
     assert agg == total_docs  # every document lands in exactly one group
+
+
+def test_dedup_clusters_partition_and_canonicals(spark, sf_dir):
+    rows = QUERIES["dedup_clusters"].build(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        assert r.cluster_id <= r.doc_id  # label = component minimum
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) == members[0].cluster_size
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == cid
