@@ -635,10 +635,22 @@ def _simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.repartition(32).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", F.md5("tok").alias("h"))
-    sums = tok.groupBy("doc_id").agg(
+    # materialize the 16 nibble values ONCE per token (16 instr lookups),
+    # then the 64 per-bit weights are integer shifts over those columns —
+    # aggregate expressions don't share subexpressions across functions, so
+    # without this projection every row would pay 64 string searches
+    nibbles = tok.select(
+        "doc_id",
         *[
-            F.sum(F.expr(_simhash_weight_sql(j, "instr").replace("//", " div ")))
-            .alias(f"s_{j}")
+            F.expr(f"instr('{_HEX}', substr(h, {p + 1}, 1)) - 1").alias(f"n_{p}")
+            for p in range(16)
+        ],
+    )
+    sums = nibbles.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"2 * ((n_{j // 4} div {2 ** (3 - j % 4)}) % 2) - 1")
+            ).alias(f"s_{j}")
             for j in range(SIMHASH_BITS)
         ]
     )

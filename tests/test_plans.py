@@ -1,0 +1,49 @@
+"""Plan-quality guards: the physical plans the engine promises.
+
+These tests pin the Catalyst outcomes the scale posture depends on —
+column pruning reaching the parquet scan, predicate pushdown, broadcast
+dimension joins — so a refactor that silently widens a scan or drops a
+broadcast fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+from queue_system_simulator_spark.plans import QUERIES
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q1_prunes_and_pushes_down(spark, sf_dir):
+    df = QUERIES["tpch_q1"].build(spark, sf_dir)
+    plan = _executed_plan(df)
+    # predicate reaches the scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # pruned scan: orderkey/partkey/suppkey are not read
+    read = plan.split("ReadSchema")[1][:400]
+    for absent in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert absent not in read
+
+
+def test_fifo_stats_reads_four_columns(spark, sf_dir):
+    df = QUERIES["fifo_stats"].build(spark, sf_dir)
+    read = _executed_plan(df).split("ReadSchema")[1][:300]
+    for col in ("event_id", "ts", "user_id", "value"):
+        assert col in read
+    for absent in ("event_type", "props"):
+        assert absent not in read
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    plan = _executed_plan(QUERIES["revenue_by_nation"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit broadcast at test scale
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    plan = _executed_plan(QUERIES["dedup_exact"].build(spark, sf_dir))
+    # one exchange for the hash groupBy, nothing else
+    assert plan.count("Exchange") <= 2  # partial->final agg pair shares one
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "lang" not in read
