@@ -400,3 +400,72 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "tpch_q18_big_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200
+)
+GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+""",
+    description="TPC-H Q18 (large-volume orders): HAVING-filtered semi-join "
+    "— the qualifying-keys set is aggregated first (map-side combine), "
+    "then drives a semi-join before the final rollup; top-20 via "
+    "TakeOrdered.",
+)
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("tq"))
+        .filter(F.col("tq") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.round(F.sum(qty), 2).cast("double").alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "supplier_part_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand, p.p_type
+""",
+    description="TPC-H Q16 pattern: COUNT(DISTINCT supplier) per part "
+    "class — distinct-aggregate with the two-phase Expand Spark plans for "
+    "it, part dim broadcast.",
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
