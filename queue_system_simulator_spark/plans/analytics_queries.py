@@ -147,6 +147,12 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = h.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("nrm")
     )
+    # NOTE: the posting-list pair trick (ngram_jaccard) was measured and
+    # REJECTED here — hour buckets are dense (~8% of users active per
+    # hour), so per-bucket C(k,2) arrays get fat while parallelism
+    # collapses to #hours rows.  The equi-self-join keeps pair generation
+    # streaming across the cluster; posting lists win only for sparse
+    # buckets (rare shingles), dense buckets want the join.
     a, b = h.alias("a"), h.alias("b")
     dots = (
         a.join(
