@@ -175,3 +175,71 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "user_a", "user_b")
         .limit(20)
     )
+
+
+@register(
+    "corpus_summary",
+    oracle="""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       count(DISTINCT doc_id) AS n_distinct_ids
+FROM documents
+GROUP BY source, lang
+""",
+    description="Corpus profiling: per (source, lang) document counts and "
+    "length statistics — the first pass every training-data pipeline runs "
+    "before filtering; integer sums keep the mean exact-rational.",
+)
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_chars"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         least(CAST(floor(value / 10.0) AS BIGINT), 9) AS bucket
+  FROM events
+)
+SELECT event_type, bucket,
+       bucket * 10.0 AS bucket_low,
+       bucket * 10.0 + 10.0 AS bucket_high,
+       count(*) AS n
+FROM b
+GROUP BY event_type, bucket
+""",
+    description="Equi-width histogram (10 buckets of width 10, top bucket "
+    "clamped) of event values per type — the distribution-profiling "
+    "primitive; pure integer bucket arithmetic, one partial-aggregated "
+    "shuffle.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(9))
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 10.0).alias("bucket_low"),
+            (F.col("bucket") * 10.0 + 10.0).alias("bucket_high"),
+            "n",
+        )
+    )
