@@ -243,3 +243,167 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+_MIN_US = 60 * 1_000_000
+
+
+@register(
+    "rate_anomalies",
+    oracle=f"""
+WITH m AS (
+  SELECT epoch_us(ts) // {_MIN_US} AS minute, count(*) AS n
+  FROM events GROUP BY epoch_us(ts) // {_MIN_US}
+),
+stats AS (
+  SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(n * n) AS DOUBLE) / count(*)
+              - (CAST(sum(n) AS DOUBLE) / count(*))
+                * (CAST(sum(n) AS DOUBLE) / count(*))) AS sigma
+  FROM m
+)
+SELECT m.minute, m.n,
+       round((m.n - s.mu) / s.sigma, 6) AS zscore
+FROM m, stats s
+WHERE abs((m.n - s.mu) / s.sigma) >= 3.0
+""",
+    description="Rate anomaly detection: per-minute event counts vs the "
+    "global mean/std (population sigma from exact integer sums), |z| >= 3 "
+    "flagged. The stats frame is one row — broadcast back over the "
+    "minutes, no second shuffle.",
+)
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.select((F.unix_micros("ts") / _MIN_US).cast("long").alias("minute"))
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mu = F.sum("n").cast("double") / F.count(F.lit(1))
+    ex2 = F.sum(F.col("n") * F.col("n")).cast("double") / F.count(F.lit(1))
+    stats = m.agg(mu.alias("mu"), F.sqrt(ex2 - mu * mu).alias("sigma"))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        m.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) >= 3.0)
+        .select("minute", "n", F.round(z, 6).alias("zscore"))
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+SELECT t.tok, count(*) AS n
+FROM documents d, LATERAL unnest(string_split(d.text, ' ')) AS t(tok)
+GROUP BY t.tok
+ORDER BY n DESC, t.tok
+LIMIT 20
+""",
+    description="Heavy hitters: exact top-20 corpus tokens (explode + "
+    "partial-aggregated count + TakeOrdered). At 100 TB the same plan "
+    "holds because the map-side combine collapses each partition to its "
+    "vocabulary before the shuffle; a count-min sketch is the sub-linear "
+    "alternative when even the vocab is too wide.",
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    description="Per-user event-sequence transition matrix (Markov "
+    "counts): one lag window per user (single shuffle on user_id), then a "
+    "grouped count — the sequence-mining primitive for session behavior.",
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "bigram_lift",
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, t.tokens AS tokens, len(t.tokens) AS L
+  FROM documents d, LATERAL (SELECT string_split(d.text, ' ') AS tokens) t
+),
+bg AS (
+  SELECT tokens[CAST(i AS INT)] AS w1, tokens[CAST(i + 1 AS INT)] AS w2,
+         count(*) AS n_ab
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(L - 1, 0))) AS i) s
+  GROUP BY 1, 2
+),
+uni AS (
+  SELECT t.tok AS w, count(*) AS n
+  FROM documents d, LATERAL unnest(string_split(d.text, ' ')) AS t(tok)
+  GROUP BY t.tok
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS big_n FROM uni)
+SELECT b.w1, b.w2, b.n_ab,
+       round(CAST(b.n_ab AS DOUBLE) * t.big_n / (u1.n * u2.n), 6) AS lift
+FROM bg b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w, tot t
+WHERE b.n_ab >= 10
+""",
+    description="Bigram collocation lift (exact-rational PMI surrogate — "
+    "no engine-dependent log): bigram counts joined to broadcast unigram "
+    "counts; support threshold prunes before the join.",
+)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.repartition(32).select(F.split("text", " ").alias("toks"))
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+    )
+    bg = (
+        toked.select(F.explode(bigrams).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("double").alias("big_n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    lift = F.round(
+        F.col("n_ab").cast("double") * F.col("big_n") / (F.col("n1") * F.col("n2")),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", lift.alias("lift"))
+    )
