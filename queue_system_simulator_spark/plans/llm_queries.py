@@ -1149,3 +1149,78 @@ def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_sim") >= 0.3)
     )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, source,
+         strpos('0123456789abcdef', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           AS nib
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN nib < 13 THEN 'train'
+            WHEN nib < 14 THEN 'val'
+            ELSE 'test' END AS split
+FROM a
+""",
+    description="Deterministic dataset splitting: md5-hash of the doc key "
+    "→ train/val/test (~81/6/13) — reproducible across engines, runs and "
+    "cluster sizes (unlike rand()), stable under re-partitioning; the "
+    "pattern every training pipeline needs for leakage-free splits.",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.expr(
+        "instr('0123456789abcdef', "
+        "substr(md5(concat('split|', CAST(doc_id AS STRING))), 1, 1)) - 1"
+    )
+    split = (
+        F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+@register(
+    "bpe_pair_frequencies",
+    oracle="""
+WITH toks AS (
+  SELECT t.tok FROM documents d,
+       LATERAL unnest(string_split(d.text, ' ')) AS t(tok)
+),
+pairs AS (
+  SELECT substr(tok, CAST(i AS INT), 1) AS c1,
+         substr(tok, CAST(i + 1 AS INT), 1) AS c2,
+         count(*) AS n
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i) s
+  WHERE len(tok) >= 2
+  GROUP BY 1, 2
+)
+SELECT c1, c2, n FROM pairs
+ORDER BY n DESC, c1, c2
+LIMIT 50
+""",
+    description="BPE tokenizer-training first step: adjacent character-"
+    "pair frequencies across the corpus (the statistic the first merge "
+    "rule is chosen from). Char fan-out is bounded by text length; "
+    "map-side combine collapses each partition to its pair vocabulary "
+    "before the single shuffle.",
+)
+def q_bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(32).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, length(tok) - 1), "
+        "i -> struct(substr(tok, i, 1) AS c1, substr(tok, i + 1, 1) AS c2))"
+    )
+    return (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "c1", "c2")
+        .limit(50)
+    )
