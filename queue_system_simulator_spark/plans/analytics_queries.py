@@ -407,3 +407,95 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_ab", lift.alias("lift"))
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 25
+""",
+    description="Deterministic stratified sampling: top-25 per source by "
+    "md5 hash order — a reproducible 'random' sample that is stable across "
+    "engines, runs and partitioning (rand()-based sampling is none of "
+    "those); one window per stratum.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 25)
+    )
+
+
+@register(
+    "events_null_audit",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props
+FROM events
+""",
+    description="Data-quality completeness audit: null counts for every "
+    "column in one pass (conditional sums, map-side combined) — the "
+    "contract check a pipeline runs before trusting a new partition.",
+)
+def q_events_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias(f"null_{c}")
+        for c in ("ts", "user_id", "event_type", "value", "props")
+    ]
+    return ev.agg(*aggs)
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+WITH k AS (
+  SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+            || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+  FROM events
+)
+SELECT user_id,
+       arg_max(event_id, ord_key) AS last_event_id,
+       arg_max(event_type, ord_key) AS last_event_type,
+       CAST(max(epoch_us(ts)) // 1000000 AS BIGINT) AS last_seen_s
+FROM k
+GROUP BY user_id
+""",
+    description="Latest-state extraction (argmax): each user's most recent "
+    "event via max_by with a deterministic (ts, event_id) tie-break — one "
+    "partial-aggregated pass, the CDC-style 'current state' primitive.",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # zero-padded string key: lexicographic == (ts, event_id) numeric order
+    # (portable argmax tie-break — tuple ordering keys aren't)
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.max_by("event_type", key).alias("last_event_type"),
+        (F.max(F.unix_micros("ts")) / 1_000_000)
+        .cast("long")
+        .alias("last_seen_s"),
+    )
