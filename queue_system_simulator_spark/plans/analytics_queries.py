@@ -499,3 +499,73 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_seen_s"),
     )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    description="Exact linear-interpolation percentiles per event_type (the "
+    "G3 operator on the native log): per-group percentile shards across "
+    "the cluster — each group's values land on one task, groups "
+    "parallelize, which is why grouped exact percentiles scale where a "
+    "single global one does not.",
+)
+def q_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            p.alias("pcts"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p90"),
+            F.round(F.col("pcts")[2], 6).alias("p99"),
+            "max_value",
+        )
+    )
+
+
+@register(
+    "user_event_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+""",
+    description="Pivot (long → wide): per-user event-type count matrix via "
+    "pivot() with the value list pinned — pinning skips the extra "
+    "distinct-values job and keeps the schema stable; one shuffle, "
+    "conditional-sum semantics.",
+)
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
