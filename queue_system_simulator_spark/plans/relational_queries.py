@@ -264,3 +264,88 @@ def q_setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("segment"), "o_custkey")
     both = y95.intersect(y96).select(F.lit("both_years").alias("segment"), "o_custkey")
     return only95.unionByName(both)
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    description="Anti-join: customers with no orders (NOT EXISTS as "
+    "left_anti) — no row multiplication, the order keys stream past the "
+    "broadcast/hashed customer side once.",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@register(
+    "order_value_deciles",
+    oracle="""
+WITH d AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INT) AS decile,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS decile_revenue
+FROM d
+GROUP BY decile
+""",
+    description="Decile analysis: ntile(10) over order value (deterministic "
+    "tie-break on orderkey) → per-decile revenue concentration. The global "
+    "ntile needs a total order — fine for ranked reporting; at 100 TB "
+    "switch to approx quantile boundaries + a bucket join.",
+)
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("decile_revenue"),
+        )
+    )
+
+
+@register(
+    "order_line_summary",
+    oracle="""
+SELECT l_orderkey,
+       count(*) AS n_lines,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+         AS line_numbers
+FROM lineitem
+GROUP BY l_orderkey
+""",
+    description="Deterministic array aggregation: per-order sorted line-"
+    "number list serialized to a stable string (collect_list is unordered "
+    "by contract — array_sort before serializing makes the result "
+    "engine- and partitioning-independent).",
+)
+def q_order_line_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("line_numbers"),
+    )
