@@ -349,3 +349,50 @@ def q_order_line_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("line_numbers"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT count(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT count(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    AS orphan_customers
+""",
+    description="Referential-integrity audit across the star schema: "
+    "orphan counts via three left_anti joins (key sets broadcast where "
+    "small) — the FK contract check a pipeline runs after every load.",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(child, key, parent, pkey):
+        return (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    a = orphans(li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey")
+    b = orphans(
+        orders.select("o_custkey"), "o_custkey", cust.select("c_custkey"), "c_custkey"
+    )
+    c = orphans(
+        cust.select("c_nationkey"),
+        "c_nationkey",
+        F.broadcast(nation.select("n_nationkey")),
+        "n_nationkey",
+    )
+    return (
+        a.select(F.col("n").alias("orphan_lineitems"))
+        .crossJoin(b.select(F.col("n").alias("orphan_orders")))
+        .crossJoin(c.select(F.col("n").alias("orphan_customers")))
+    )

@@ -156,3 +156,43 @@ class TestJsonSource:
         assert rows[0].user_id == "u1"
         assert rows[0].processing_time == 2.5
         assert rows[0].request_time.microsecond == 500000
+
+
+class TestDynamicPartitionOverwrite:
+    def test_backfill_replaces_only_target_partition(self, spark, sf_dir, tmp_path):
+        """Idempotent backfill: dynamic partitionOverwriteMode rewrites only
+        the partitions present in the incoming frame — the other partitions
+        survive (the datalake re-run contract)."""
+        from queue_system_simulator_spark.schema import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        out = str(tmp_path / "lake")
+        ev.write.partitionBy("event_type").parquet(out)
+        before = {
+            r.event_type: r.n
+            for r in spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            clicks_half = ev.filter("event_type = 'click'").limit(
+                before["click"] // 2
+            )
+            clicks_half.write.mode("overwrite").partitionBy("event_type").parquet(
+                out
+            )
+            after = {
+                r.event_type: r.n
+                for r in spark.read.parquet(out)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            assert after["click"] == before["click"] // 2  # replaced
+            for t, n in before.items():
+                if t != "click":
+                    assert after[t] == n  # untouched
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
