@@ -134,3 +134,61 @@ FROM ({fifo_k1_timeline_sql("SELECT * FROM events")})
 def q_streaming_fifo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
     return run_available_now(streaming_fifo_k1(stream), output_mode="append")
+
+
+@register(
+    "streaming_dedup_counts",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+""",
+    description="Streaming deduplication: dropDuplicates on (event_type, "
+    "user_id) inside the stream (state = one entry per distinct pair, "
+    "bounded by the key domain; at unbounded cardinality use "
+    "dropDuplicatesWithinWatermark for state expiry), then counts — "
+    "equals the batch DISTINCT aggregate.",
+)
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    deduped = stream.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    from pyspark.sql import functions as F
+
+    return run_available_now(
+        deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_unique_users")
+        )
+    )
+
+
+@register(
+    "streaming_enrich_segment_counts",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type, count(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+    description="Stream-static join: the event stream enriched against the "
+    "static customer dimension (broadcast per microbatch — no state), "
+    "aggregated per (segment, type); the online lookup-enrichment pattern "
+    "every streaming pipeline needs.",
+)
+def q_streaming_enrich_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    stream = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    return run_available_now(
+        joined.groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+    )
