@@ -169,3 +169,76 @@ def test_streaming_fifo_tws_gated_or_matches(spark, sf_dir):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a stream after its first microbatch, restart from the same
+    checkpoint: the parquet sink must end up with every input row exactly
+    once (file-sink transactional log + checkpointed source offsets)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    thirds = ev.select(F.ntile(3).over(Window.orderBy("ts")).alias("part"), "*")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in (1, 2, 3):
+        part_dir = tmp_path / f"p{i}"
+        thirds.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part_dir))
+        fn = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / fn, src / f"{i:03d}.parquet")
+        _time.sleep(0.01)
+        os.utime(src / f"{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(src))
+        )
+        proj = stream.select("event_id", "user_id", "event_type")
+        return (
+            proj.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    # wait for at least one committed batch, then kill mid-stream
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    # restart from the same checkpoint; drain everything remaining
+    q2 = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        _time.sleep(0.5)
+        if (
+            q2.lastProgress
+            and q2.lastProgress["numInputRows"] == 0
+            and not q2.status["isDataAvailable"]
+        ):
+            break
+    q2.stop()
+    q2.awaitTermination()
+
+    result = spark.read.parquet(out)
+    n_total = ev.count()
+    assert result.count() == n_total  # no loss, no duplicates
+    assert result.select("event_id").distinct().count() == n_total
