@@ -59,6 +59,11 @@ def main() -> int:
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
+        # same hygiene as bench.py: queries cache intermediates; dropping
+        # them + nudging the JVM keeps cleanup debt from inflating later
+        # queries in this long single-session sweep
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             sdf = spec.build(spark, sf_dir)
