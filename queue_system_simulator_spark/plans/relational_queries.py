@@ -396,3 +396,50 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(b.select(F.col("n").alias("orphan_orders")))
         .crossJoin(c.select(F.col("n").alias("orphan_customers")))
     )
+
+
+@register(
+    "nation_revenue_share",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name, sum({_DISC_PRICE_SQL}) AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       CAST(round(r, 2) AS DOUBLE) AS revenue,
+       round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE), 6)
+         AS revenue_share
+FROM rev
+""",
+    description="Percent-of-total: per-nation revenue plus its share via a "
+    "window over the AGGREGATED frame (sum over ()) — the total never "
+    "re-scans the fact table, and the unpartitioned window runs over "
+    "#nations rows, not #lineitems.",
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc).alias("r"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round(F.col("r"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
+        ).alias("revenue_share"),
+    )

@@ -196,3 +196,23 @@ class TestDynamicPartitionOverwrite:
                     assert after[t] == n  # untouched
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_across_file_generations(self, spark, tmp_path):
+        """Datalake schema evolution: an old file without a column and a new
+        file with it read together via mergeSchema — old rows surface null
+        for the added column, no rewrite of historical files."""
+        out = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, payload string"
+        ).write.parquet(out + "/gen=1")
+        spark.createDataFrame(
+            [(3, "c", 0.9), (4, "d", 0.1)],
+            "id long, payload string, quality double",
+        ).write.parquet(out + "/gen=2")
+        merged = spark.read.option("mergeSchema", True).parquet(out)
+        assert set(merged.columns) >= {"id", "payload", "quality"}
+        rows = {r.id: r for r in merged.collect()}
+        assert rows[1].quality is None  # old generation: evolved column null
+        assert rows[3].quality == 0.9
