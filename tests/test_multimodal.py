@@ -72,3 +72,14 @@ def test_frame_sample_fanout(spark, sf_dir):
     frames = frame_sample(media, every_n=2).collect()
     assert len(frames) == 2 * n_video  # frames 0 and 2 of 4
     assert {f.frame_idx for f in frames} == {0, 2}
+
+
+def test_arrow_features_match_pandas_path(spark, sf_dir):
+    from queue_system_simulator_spark.functions.multimodal import (
+        extract_features_arrow,
+    )
+
+    media = synthesize_media(spark, sf_dir)
+    pandas_rows = sorted(map(tuple, extract_features(media).collect()))
+    arrow_rows = sorted(map(tuple, extract_features_arrow(media).collect()))
+    assert pandas_rows == arrow_rows
