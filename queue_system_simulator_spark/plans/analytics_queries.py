@@ -569,3 +569,77 @@ def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
     )
+
+
+@register(
+    "session_conversion",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t FROM events
+),
+flags AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w >= 300000000 THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+),
+first_view AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'view' THEN t END) AS fv
+  FROM sess GROUP BY user_id, sid
+),
+conv AS (
+  SELECT s.user_id, s.sid,
+         max(CASE WHEN s.event_type = 'purchase' AND s.t > f.fv
+                  THEN 1 ELSE 0 END) AS converted
+  FROM sess s JOIN first_view f
+    ON s.user_id = f.user_id AND s.sid = f.sid
+  GROUP BY s.user_id, s.sid
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converting_sessions
+FROM conv GROUP BY user_id
+""",
+    description="Sessionized conversion: 300 s gap sessions (lag + running "
+    "sum), a session converts when a purchase strictly follows its first "
+    "view. Session assignment and the in-session funnel share ONE "
+    "partitioning by user — Catalyst evaluates both windows in a single "
+    "sort, then two grouped passes.",
+)
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_s = F.when(
+        F.lag("t").over(w).isNull() | (F.col("t") - F.lag("t").over(w) >= 300_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(new_s).over(run))
+    first_view = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("fv")
+    )
+    conv = (
+        sess.join(first_view, ["user_id", "sid"])
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("t") > F.col("fv")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converting_sessions"),
+    )
