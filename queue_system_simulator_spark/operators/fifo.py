@@ -99,14 +99,16 @@ def fifo_k1_timeline_sql(
     """
     return f"""
 WITH base AS (
-  SELECT {group_col} AS group_id,
+  SELECT CAST({group_col} AS VARCHAR) AS group_id,
          {order_col} AS seq,
          {epoch_us_fn}({ts_col}) AS arrival_us,
          CAST(round({proc_col} * 100) AS BIGINT) * 10000 AS proc_us
   FROM ({source_sql})
 ), win AS (
   SELECT *,
-         SUM(proc_us) OVER w AS cum_proc_us
+         -- DuckDB widens SUM(BIGINT) to HUGEINT; the driver's hasher is
+         -- type-sensitive, so pin every derived time column back to BIGINT
+         CAST(SUM(proc_us) OVER w AS BIGINT) AS cum_proc_us
   FROM base
   WINDOW w AS (PARTITION BY group_id ORDER BY arrival_us, seq
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

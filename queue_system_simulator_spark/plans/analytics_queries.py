@@ -217,8 +217,8 @@ WITH b AS (
   FROM events
 )
 SELECT event_type, bucket,
-       bucket * 10.0 AS bucket_low,
-       bucket * 10.0 + 10.0 AS bucket_high,
+       CAST(bucket * 10.0 AS DOUBLE) AS bucket_low,
+       CAST(bucket * 10.0 + 10.0 AS DOUBLE) AS bucket_high,
        count(*) AS n
 FROM b
 GROUP BY event_type, bucket

@@ -78,6 +78,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     2^53 so float division would corrupt them).  Lossless for this data
     (ns remainder is always 0) and identical to DuckDB's ns→µs cast.
     """
+    # The conf must be set on *this* session, not just the package's own
+    # builder (session.py): callers such as the driver harness construct
+    # their own SparkSession, and without it the parquet reader throws
+    # PARQUET_TYPE_ILLEGAL on events.ts (INT64 TIMESTAMP(NANOS)) before the
+    # bigint fallback below can run.  Runtime-settable, idempotent, cheap.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

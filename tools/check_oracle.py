@@ -42,6 +42,52 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, str
     return len(rows), ",".join(sorted(cols)), h
 
 
+def _norm_spark_dtype(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to a cross-engine class."""
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt.startswith("array"):
+        return "list"
+    if dt.startswith(("map", "struct")):
+        return "nested"
+    return {"string": "str", "boolean": "bool", "date": "date",
+            "binary": "bin"}.get(dt, dt)
+
+
+def _norm_duck_dtype(dt: str) -> str:
+    """Collapse a DuckDB type name to the same cross-engine class.
+
+    HUGEINT and DECIMAL deliberately do NOT map to "int": the driver's
+    hasher is type-sensitive, and an uncast DuckDB sum() (HUGEINT) vs a
+    Spark BIGINT was an actual round-1 driver FAIL that the old
+    stringifying comparison missed.
+    """
+    dt = dt.upper()
+    if dt.endswith("[]"):
+        return "list"
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if dt == "HUGEINT":
+        return "hugeint"
+    if dt in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    if dt.startswith(("MAP", "STRUCT")):
+        return "nested"
+    return {"VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+            "BLOB": "bin"}.get(dt, dt.lower())
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -68,6 +114,7 @@ def main() -> int:
         try:
             sdf = spec.build(spark, sf_dir)
             scols = sdf.columns
+            stypes = {c: _norm_spark_dtype(t) for c, t in sdf.dtypes}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
@@ -82,6 +129,8 @@ def main() -> int:
         try:
             rel = con.sql(spec.oracle)
             dcols = rel.columns
+            dtypes = {c: _norm_duck_dtype(str(t))
+                      for c, t in zip(rel.columns, rel.types)}
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -89,13 +138,19 @@ def main() -> int:
             continue
         sn, sc, sh = frame_fingerprint(scols, srows)
         dn, dc, dh = frame_fingerprint(dcols, drows)
-        status = "PASS" if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
+        type_ok = stypes == dtypes
+        status = "PASS" if (sn, sc, sh) == (dn, dc, dh) and type_ok else "FAIL"
         print(
             f"{status}  {name}: spark({sn} rows, {sh}) duckdb({dn} rows, {dh}) "
             f"{time.time()-t0:.1f}s"
         )
         if status == "FAIL":
             failures.append(name)
+            if not type_ok:
+                bad = {c: (stypes.get(c), dtypes.get(c))
+                       for c in set(stypes) | set(dtypes)
+                       if stypes.get(c) != dtypes.get(c)}
+                print(f"      dtype mismatch (spark, duck): {bad}")
             if sc != dc:
                 print(f"      cols spark={sc}\n      cols duck ={dc}")
             elif sn == dn:
