@@ -68,6 +68,107 @@ def q_kernel_fifo_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact DuckDB twin of the k=1 bounded-FIFO kernel (E1 admission control).
+#: Sequential state per group = (finish of last admitted job, start times of
+#: jobs still waiting).  An arrival at t sees queue depth = #{starts >= t}
+#: (jobs started before t are in service or done; the dequeue scheduled at
+#: exactly t happens AFTER the arrival drain in the kernel's fixed-point
+#: loop, so starts == t still count as waiting — reference
+#: /root/reference/src/simulator.py:195-258 pass ordering).  Reject at
+#: depth >= Q with the −1 sentinel (simulator.py:213-215), else
+#: start = max(arrival, last_finish) — the Lindley recurrence.  The
+#: recursive CTE steps one request per group per iteration; every group
+#: advances in lockstep, so recursion depth = max requests per group.
+_BOUNDED_Q = 3
+
+_KERNEL_BOUNDED_ORACLE = f"""
+WITH RECURSIVE req AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         event_id AS seq,
+         epoch_us(ts) AS a_us,
+         CAST(round(value * 100) AS BIGINT) * 10000 AS p_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+sim AS (
+  SELECT user_id,
+         CAST(0 AS BIGINT) AS rn,
+         CAST(NULL AS BIGINT) AS seq,
+         CAST(NULL AS BIGINT) AS a_us,
+         CAST(NULL AS BIGINT) AS s_us,
+         CAST(NULL AS BIGINT) AS f_us,
+         FALSE AS rejected,
+         CAST(0 AS BIGINT) AS f_last,
+         CAST([] AS BIGINT[]) AS waiting_starts
+  FROM (SELECT DISTINCT user_id FROM req)
+  UNION ALL
+  SELECT r.user_id, r.rn, r.seq, r.a_us,
+         CASE WHEN len(list_filter(s.waiting_starts, x -> x >= r.a_us))
+                   >= {_BOUNDED_Q}
+              THEN NULL ELSE greatest(r.a_us, s.f_last) END,
+         CASE WHEN len(list_filter(s.waiting_starts, x -> x >= r.a_us))
+                   >= {_BOUNDED_Q}
+              THEN -1 ELSE greatest(r.a_us, s.f_last) + r.p_us END,
+         len(list_filter(s.waiting_starts, x -> x >= r.a_us)) >= {_BOUNDED_Q},
+         CASE WHEN len(list_filter(s.waiting_starts, x -> x >= r.a_us))
+                   >= {_BOUNDED_Q}
+              THEN s.f_last ELSE greatest(r.a_us, s.f_last) + r.p_us END,
+         CASE WHEN len(list_filter(s.waiting_starts, x -> x >= r.a_us))
+                   >= {_BOUNDED_Q}
+              THEN list_filter(s.waiting_starts, x -> x >= r.a_us)
+              ELSE list_append(list_filter(s.waiting_starts, x -> x >= r.a_us),
+                               greatest(r.a_us, s.f_last)) END
+  FROM sim s JOIN req r ON r.user_id = s.user_id AND r.rn = s.rn + 1
+)
+SELECT user_id, seq,
+       a_us / 1000000 AS arrival_s,
+       s_us / 1000000 AS start_s,
+       CASE WHEN rejected THEN -1.0 ELSE f_us / 1000000 END AS finish_s,
+       CASE WHEN rejected THEN 'rejected' ELSE 'success' END AS status
+FROM sim WHERE rn > 0
+"""
+
+
+@register(
+    "kernel_fifo_bounded_oracle",
+    oracle=_KERNEL_BOUNDED_ORACLE,
+    description="Bounded-FIFO admission control (E1), driver-graded: the "
+    "DES kernel with k=1, queue_max_size=3 checked against an exact "
+    "sequential-recurrence oracle (recursive CTE carrying per-group "
+    "(last_finish, waiting-start list) state). Arrivals hitting a full "
+    "queue get the reference's −1 finish sentinel "
+    "(/root/reference/src/simulator.py:213-215).",
+)
+def q_kernel_fifo_bounded_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_micro(spark, sf_dir)
+    # rate limiter disabled (one API, effectively infinite RPM): this query
+    # isolates E1 admission semantics; E5/E6 limiter paths are graded by
+    # rate_limit_sliding and covered by tests/test_kernel.py
+    params = SimParams(
+        num_workers=1,
+        queue_mode="fifo",
+        queue_max_size=_BOUNDED_Q,
+        num_apis=1,
+        rpm_limit=1_000_000_000,
+    )
+    res = simulate(df, params, group_cols=["user_id"], shards=64)
+    m = 1_000_000
+    rejected = F.col("finish_processing_time_by_worker") == -1.0
+    return res.select(
+        "user_id",
+        "seq",
+        (F.col("sim_arrival_time") / m).alias("arrival_s"),
+        F.when(rejected, F.lit(None)).otherwise(
+            F.col("start_processing_time_by_worker") / m
+        ).alias("start_s"),
+        F.when(rejected, F.lit(-1.0)).otherwise(
+            F.col("finish_processing_time_by_worker") / m
+        ).alias("finish_s"),
+        "status",
+    )
+
+
 @register(
     "kernel_fifo_bounded",
     oracle=None,  # admission control feeds back through queue occupancy —
