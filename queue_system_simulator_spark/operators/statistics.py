@@ -133,9 +133,14 @@ def enqueue_totals(df: DataFrame, threshold: float = 20.0) -> DataFrame:
     (reference carries mutable counters, ``queue_manager.py:121-123,140-154``;
     the relational equivalent is a conditional count over rows that actually
     entered a queue, i.e. all non-rejected rows — rejection happens *before*
-    enqueue, ``simulator.py:213-215``)."""
+    enqueue, ``simulator.py:213-215``).
+
+    Null ``processing_time`` routes to the normal class, matching the
+    reference's ``hasattr`` fallback (``queue_manager.py:137-155``) and the
+    kernel — a bare ``col < threshold`` would evaluate to NULL and count the
+    row in *neither* bucket."""
     admitted = F.col("finish_processing_time_by_worker") != REJECTED_SENTINEL
-    prio = F.col("processing_time") < threshold
+    prio = F.coalesce(F.col("processing_time") < threshold, F.lit(False))
     return df.select(
         F.sum(F.when(admitted & prio, 1).otherwise(0))
         .cast("long")

@@ -65,6 +65,13 @@ def run_pipeline(
     simulations (scenario sweep); None = one global run like the CLI.
     """
     df = read_requests_csv(spark, csv_path)
+    # Capture file position at scan time: the reference preserves CSV input
+    # order via a *stable* arrival sort (/root/reference/src/simulator.py:41),
+    # so duplicate (arrival, user) rows need a deterministic tiebreaker or
+    # ``seq`` — and with it the simulated timeline — changes across runs and
+    # task retries.  monotonically_increasing_id() over a deterministic scan
+    # split encodes (partition, offset) and is stable for a given file.
+    df = df.withColumn("__input_pos", F.monotonically_increasing_id())
     n_input = df.count()
     if n_input == 0:  # header-only/empty file → exit path (main.py:45-49)
         return PipelineResult(None, None, None, 0, 0)
@@ -78,7 +85,9 @@ def run_pipeline(
     df = df.withColumn(
         "seq",
         F.row_number().over(
-            Window.partitionBy(*group_cols).orderBy("sim_arrival_time", "user_id")
+            Window.partitionBy(*group_cols).orderBy(
+                "sim_arrival_time", "user_id", "__input_pos"
+            )
         ),
     )
     params = SimParams(

@@ -425,9 +425,11 @@ def q_api_usage_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "enqueue_totals",
     oracle=f"""
-SELECT CAST(sum(CASE WHEN finish_us != -1 AND proc_us < 20000000 THEN 1 ELSE 0 END) AS BIGINT)
+SELECT CAST(sum(CASE WHEN finish_us != -1
+                      AND COALESCE(proc_us < 20000000, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
          AS priority_queue_enqueued_total,
-       CAST(sum(CASE WHEN finish_us != -1 AND proc_us >= 20000000 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN finish_us != -1
+                      AND NOT COALESCE(proc_us < 20000000, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
          AS normal_queue_enqueued_total
 FROM ({_SIM_RESULTS_SQL})
 """,
@@ -438,7 +440,8 @@ FROM ({_SIM_RESULTS_SQL})
 def q_enqueue_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _synthetic_sim_results(spark, sf_dir)
     admitted = F.col("finish_us") != -1
-    prio = F.col("proc_us") < 20_000_000
+    # null processing_time -> normal class (reference queue_manager.py:137-155)
+    prio = F.coalesce(F.col("proc_us") < 20_000_000, F.lit(False))
     return df.agg(
         F.sum(F.when(admitted & prio, 1).otherwise(0))
         .cast("long")

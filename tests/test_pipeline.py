@@ -103,3 +103,29 @@ def test_run_col_scenario_sweep(spark, tmp_path):
             )
             assert r.start_processing_time_by_worker == expected_start
             prev_finish = r.finish_processing_time_by_worker
+
+
+def test_duplicate_arrival_rows_get_stable_seq(spark, tmp_path):
+    # Two users sharing identical (request_time, user_id) pairs: seq must be
+    # a total order anchored to file position, so repeated runs produce the
+    # identical timeline (the reference's stable arrival sort preserves CSV
+    # input order, /root/reference/src/simulator.py:41).
+    p = tmp_path / "dups.csv"
+    p.write_text(
+        "user_id,request_time,processing_time\n"
+        + "".join(
+            f"user_{i % 2},2023-01-01T00:00:05Z,{3.0 + i}\n" for i in range(6)
+        )
+    )
+    runs = [run_pipeline(spark, str(p)) for _ in range(2)]
+    timelines = [
+        [
+            (r.user_id, r.processing_time, r.start_processing_time_by_worker)
+            for r in res.timeline.collect()
+        ]
+        for res in runs
+    ]
+    assert timelines[0] == timelines[1]
+    # per-row service times differ, so a deterministic seq fixes which row
+    # starts first: the file's first row (proc=3.0) must be served first.
+    assert timelines[0][0][1] == 3.0

@@ -121,10 +121,14 @@ def test_enqueue_totals(spark):
         sim_row(proc=20.0),
         sim_row(proc=30.0),
         ("u", None, 1.0, 1.0, 1.0, 0.0, -1.0, None),  # rejected → not enqueued
+        # null processing_time routes to the NORMAL class, matching the
+        # reference's hasattr fallback (queue_manager.py:137-155) and the
+        # kernel — it must not vanish from both buckets.
+        ("u", None, None, 1.0, 1.0, 1.0, 5.0, 1),
     ]
     out = enqueue_totals(make_df(spark, rows)).collect()[0]
     assert out["priority_queue_enqueued_total"] == 2
-    assert out["normal_queue_enqueued_total"] == 2
+    assert out["normal_queue_enqueued_total"] == 3
 
 
 def test_stats_grouped(spark):
