@@ -47,3 +47,13 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 2  # partial->final agg pair shares one
     read = plan.split("ReadSchema")[1][:200]
     assert "text" in read and "lang" not in read
+
+
+def test_user_activity_similarity_has_no_pair_join(spark, sf_dir):
+    # Scale guard: the exact top-20 cosine query must do its quadratic work
+    # inside the blocked-GEMM kernel (FlatMapGroupsInPandas), never as a
+    # relational self-join exploding Σ_h k_h² pair tuples through a shuffle.
+    plan = _executed_plan(QUERIES["user_activity_similarity"].build(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan  # block-pair map is broadcast-joined
+    assert "CartesianProduct" not in plan
