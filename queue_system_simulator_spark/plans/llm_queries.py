@@ -782,50 +782,78 @@ SELECT l.doc_id, l.cluster_id,
 FROM lbl l
 """,
     description="Near-dup CLUSTERING (the dedup endgame): connected "
-    "components over the MinHash-LSH pair graph via iterative min-label "
-    "propagation — each round one join + one aggregate, driver loops until "
-    "fixpoint (≤ graph diameter rounds, the standard Spark iterative-"
-    "algorithm shape); every doc labeled with its component's minimum "
-    "doc_id, canonical = keeper. Oracle: DuckDB recursive-CTE transitive "
-    "closure.",
+    "components over the MinHash-LSH pair graph via alternating large-star/"
+    "small-star contraction (Kiveris et al., 'Connected Components in "
+    "MapReduce and Beyond') — O(log²) rounds instead of graph-diameter "
+    "rounds, superseded edge frames unpersisted each round; every doc "
+    "labeled with its component's minimum doc_id, canonical = keeper. "
+    "Oracle: DuckDB recursive-CTE transitive closure.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
+    """Connected components by alternating star contraction.
+
+    100 TB posture: label propagation needs diameter-many rounds — a chain
+    of near-dup docs (common in boilerplate-heavy crawls) makes that
+    unbounded.  Large-star/small-star converges in O(log²) rounds on any
+    graph, each round two groupBy-join passes over the *edge* set (which
+    only shrinks), no per-doc label frame carried between rounds.  The
+    driver-side fixpoint probe is one tiny agg per round; superseded edge
+    caches are unpersisted immediately, so peak storage is two edge frames.
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # canonical direction big → small: (a, b) with a > b
+    edges = pairs.select(
+        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
     ).cache()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    for _ in range(20):  # diameter bound; tiny vs corpus size
-        neigh = (
-            sym.join(labels, sym["doc_a"] == labels["doc_id"])
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("n_min"))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; for each u emit (v, min(N(u) ∪ {u}))
+        # for strictly larger neighbors v — big nodes re-hang onto the
+        # local minimum.
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        m = m.select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .cache()
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # edges arrive (big, small); for each center u re-hang u and all
+        # its smaller neighbors onto their minimum.
+        m = e.groupBy("a").agg(F.min("b").alias("m"))
+        hang_nbrs = e.join(m, "a").select(F.col("b").alias("x"), "m")
+        hang_self = m.select(F.col("a").alias("x"), "m")
+        return (
+            hang_nbrs.unionByName(hang_self)
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            .distinct()
         )
-        changed = (
-            new_labels.join(
-                labels.select("doc_id", F.col("cluster_id").alias("old")),
-                "doc_id",
-            )
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+
+    signature = None
+    for _ in range(15):  # O(log² n) bound; fixpoint probe exits early
+        new_edges = _small_star(_large_star(edges)).cache()
+        sig = new_edges.agg(
+            F.count(F.lit(1)), F.sum("a"), F.sum("b")
+        ).first()
+        edges.unpersist()
+        edges = new_edges
+        if tuple(sig) == signature:
             break
+        signature = tuple(sig)
+
+    # converged: every component is a star (member → component-min)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.join(
+        edges.select(F.col("a").alias("doc_id"), F.col("b").alias("root")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("root", F.col("doc_id")).alias("cluster_id")
+    )
     from pyspark.sql import Window
 
     return labels.select(
