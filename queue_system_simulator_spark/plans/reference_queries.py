@@ -213,7 +213,11 @@ FROM ({tl})
     oracle=_FIFO_STATS_SQL_BODY.format(group_cols="", tl=_FIFO_TL_SQL, group_by=""),
     description="G1-G3 flagship: queuing-time statistics (count, mean, exact "
     "linear-interpolation percentiles p50/p75/p90/p99) over the FIFO timeline "
-    "(reference /root/reference/src/statistics.py:46-121).",
+    "(reference /root/reference/src/statistics.py:46-121). 100 TB note: the "
+    "ungrouped exact percentile funnels every value through one reducer by "
+    "construction — keep this form for oracle-checked reporting only; at "
+    "scale use fifo_stats_by_user (per-group exact, shards across the "
+    "cluster) or fifo_stats_approx (mergeable sketch, no value shuffle).",
 )
 def q_fifo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fifo_stats(q_fifo_timeline(spark, sf_dir), group=False)

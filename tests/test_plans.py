@@ -49,6 +49,17 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
     assert "text" in read and "lang" not in read
 
 
+def test_fifo_stats_by_user_shards_percentiles_by_group(spark, sf_dir):
+    # 100 TB guard: the scalable exact-percentile form must key its aggregate
+    # on group_id so percentile state shards across executors, unlike the
+    # ungrouped fifo_stats whose single-reducer funnel is oracle-only.
+    plan = _executed_plan(QUERIES["fifo_stats_by_user"].build(spark, sf_dir))
+    agg_tail = plan.split("percentile", 1)[0]
+    assert "group_id" in agg_tail.rsplit("keys=[", 1)[-1][:80], (
+        "exact percentile aggregate must be keyed by group_id"
+    )
+
+
 def test_user_activity_similarity_has_no_pair_join(spark, sf_dir):
     # Scale guard: the exact top-20 cosine query must do its quadratic work
     # inside the blocked-GEMM kernel (FlatMapGroupsInPandas), never as a
