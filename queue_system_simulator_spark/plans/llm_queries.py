@@ -1274,3 +1274,239 @@ def q_bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "c1", "c2")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data curation: repetition, contamination, packing, mixing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_score",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT doc_id,
+         a[CAST(i AS INT)] || ' ' || a[CAST(i + 1 AS INT)] AS bigram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) s
+),
+bga AS (
+  SELECT doc_id, count(*) AS n_bg, count(DISTINCT bigram) AS n_dist
+  FROM bg GROUP BY doc_id
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM t, LATERAL unnest(a) AS u(tok)
+  GROUP BY doc_id, tok
+),
+ta AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok FROM tc GROUP BY doc_id)
+SELECT b.doc_id,
+       round(1.0 - CAST(n_dist AS DOUBLE) / n_bg, 6) AS dup_bigram_frac,
+       round(CAST(top_c AS DOUBLE) / n_tok, 6)       AS top_token_frac
+FROM bga b JOIN ta USING (doc_id)
+""",
+    description="Gopher-style repetition quality signals per document: "
+    "duplicate-bigram fraction (1 - distinct/total bigram occurrences) and "
+    "most-frequent-token mass fraction — the filters that drop boilerplate "
+    "and degenerate pages before pretraining. Both signals are per-doc "
+    "aggregations of in-row token arrays: map-side combinable, no cross-doc "
+    "shuffle, scales linearly in corpus bytes.",
+)
+def q_doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(32).select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1), "
+                "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    bga = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.countDistinct("bigram").alias("n_dist"),
+    )
+    tc = (
+        docs.select("doc_id", F.explode("a").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    return bga.join(ta, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.col("n_dist").cast("double") / F.col("n_bg"), 6
+        ).alias("dup_bigram_frac"),
+        F.round(F.col("top_c").cast("double") / F.col("n_tok"), 6).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+CONTAM_GRAM = 5
+CONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" set
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(
+           list_slice(a, CAST(i AS INT), CAST(i + {CONTAM_GRAM - 1} AS INT)), ' '
+         ) AS g
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(a) - {CONTAM_GRAM - 1})) AS i
+  ) s
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+ev AS (SELECT * FROM g WHERE doc_id % {CONTAM_BENCH_MOD} <> 0)
+SELECT ev.doc_id,
+       count(*) AS n_grams,
+       count(bench.g) AS n_hit,
+       round(CAST(count(bench.g) AS DOUBLE) / count(*), 6) AS contamination
+FROM ev LEFT JOIN bench ON ev.g = bench.g
+GROUP BY ev.doc_id
+""",
+    description=f"Benchmark-contamination audit: fraction of each training "
+    f"document's distinct token {CONTAM_GRAM}-grams that also occur in a "
+    f"held-out benchmark set (doc_id % {CONTAM_BENCH_MOD} == 0 here; any "
+    "eval-suite n-gram table in production). Posting-list left join on the "
+    "n-gram key — the benchmark side is tiny and broadcast, so at 100 TB "
+    "this is a map-only probe of a broadcast hash set, never a corpus "
+    "self-join.",
+)
+def q_contamination_ngram_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(32).select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(a) - {CONTAM_GRAM - 1}), "
+                f"i -> concat_ws(' ', slice(a, i, {CONTAM_GRAM})))"
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return (
+        ev.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+PACK_CTX = 512  # tokens per training sequence
+PACK_SHARDS = 8  # independent pack streams per source
+
+
+@register(
+    "seq_pack_chunks",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM documents
+),
+c AS (
+  SELECT source, shard, n_tok,
+         CAST((sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id)
+               - n_tok) // {PACK_CTX} AS BIGINT) AS chunk_id
+  FROM d
+)
+SELECT source, shard, chunk_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY source, shard, chunk_id
+""",
+    description=f"Sequence packing (concat-and-chunk): within each "
+    f"(source, doc_id % {PACK_SHARDS}) pack stream, documents ordered by "
+    f"doc_id are concatenated and cut into {PACK_CTX}-token training "
+    "sequences; a doc belongs to the chunk its first token lands in. The "
+    "running sum is a window per pack stream — sharding bounds every "
+    "window partition, so packing parallelizes freely at 100 TB instead "
+    "of serializing on one global cumulative sum.",
+)
+def q_seq_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "source",
+            "shard",
+            "n_tok",
+            F.expr(f"CAST((cum - n_tok) div {PACK_CTX} AS BIGINT)").alias(
+                "chunk_id"
+            ),
+        )
+    )
+    return c.groupBy("source", "shard", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+@register(
+    "corpus_mix_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h16,
+         0.2 + 0.04 * CAST(substr(source, 4) AS INT) AS w
+  FROM documents
+)
+SELECT doc_id, source FROM d WHERE CAST(h16 AS DOUBLE) / 65536.0 < w
+""",
+    description="Domain-mixture sampling: per-source retention weights "
+    "(here 0.2 + 0.04*source_index; a mixture config table in production) "
+    "applied via a seeded md5 hash of the doc key, so the sampled corpus "
+    "is deterministic across engines, runs, retries and cluster sizes — "
+    "unlike rand()-based sampling. Map-only: no shuffle, prunes to two "
+    "columns at the scan.",
+)
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = "md5(concat('mix|', CAST(doc_id AS STRING)))"
+    h16 = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    )
+    w = F.expr("0.2 + 0.04 * CAST(substr(source, 4, 10) AS INT)")
+    return docs.select("doc_id", "source").filter(
+        F.expr(f"CAST({h16} AS DOUBLE) / 65536.0") < w
+    )

@@ -53,3 +53,61 @@ def test_dedup_clusters_partition_and_canonicals(spark, sf_dir):
         assert len(members) == members[0].cluster_size
         canon = [m for m in members if m.is_canonical]
         assert len(canon) == 1 and canon[0].doc_id == cid
+
+
+def test_repetition_score_bounds(spark, sf_dir):
+    rows = QUERIES["doc_repetition_score"].build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        assert 0.0 < r.top_token_frac <= 1.0
+
+
+def test_contamination_excludes_benchmark_docs(spark, sf_dir):
+    from queue_system_simulator_spark.plans.llm_queries import (
+        CONTAM_BENCH_MOD,
+    )
+
+    rows = QUERIES["contamination_ngram_overlap"].build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_id % CONTAM_BENCH_MOD != 0  # benchmark side never scored
+        assert 0 <= r.n_hit <= r.n_grams
+        assert 0.0 <= r.contamination <= 1.0
+
+
+def test_seq_pack_chunks_conserves_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    packed = QUERIES["seq_pack_chunks"].build(spark, sf_dir)
+    total = packed.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    expect = docs.select(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.size(F.split("text", " "))).alias("t"),
+    ).collect()[0]
+    # packing is a partition of the corpus: every doc and token lands in
+    # exactly one chunk
+    assert (total.d, total.t) == (expect.d, expect.t)
+    # chunk ids are dense from 0 within each pack stream
+    bad = packed.groupBy("source", "shard").agg(
+        (F.max("chunk_id") + 1 - F.countDistinct("chunk_id")).alias("gap")
+    ).filter("gap != 0 OR gap IS NULL")
+    assert bad.count() == 0
+
+
+def test_corpus_mix_is_deterministic_and_weighted(spark, sf_dir):
+    a = QUERIES["corpus_mix_sample"].build(spark, sf_dir).collect()
+    b = QUERIES["corpus_mix_sample"].build(spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    kept = {}
+    for r in a:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    # higher-index sources have higher retention weights; compare extremes
+    lo = sum(kept.get(f"src{i}", 0) for i in range(3))
+    hi = sum(kept.get(f"src{i}", 0) for i in range(17, 20))
+    assert lo < hi
