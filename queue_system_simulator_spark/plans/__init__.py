@@ -66,18 +66,19 @@ DRIVER_WINDOW = [
     "embed_ivf_probe_topk",
     "embed_lsh_bucket_topk",
     "embed_near_dup_pairs",
+    # LLM pipeline: training-data curation
+    "doc_repetition_score",
+    "contamination_ngram_overlap",
+    "seq_pack_chunks",
     # LLM pipeline: multimodal column plumbing
     "multimodal_features",
     "multimodal_frame_sample",
-    "multimodal_resize_stats",
     # Structured Streaming family
     "streaming_tumbling_counts",
     "streaming_sliding_api_load",
     "streaming_session_counts",
     "streaming_interval_join",
     "streaming_fifo_state",
-    "streaming_dedup_counts",
-    "streaming_enrich_segment_counts",
     # custom operators Spark lacks natively
     "asof_join_purchase",
     "range_join_error_context",
