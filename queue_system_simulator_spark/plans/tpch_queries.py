@@ -469,3 +469,345 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q7_trade_volume",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 23:59:59'
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""",
+    description="TPC-H Q7 (trade volume between two nations): the nation "
+    "dimension joins twice under different roles (supplier vs customer "
+    "nation) — both broadcast; the disjunctive nation-pair predicate prunes "
+    "after the dims attach, the shipdate range pushes to the parquet scan, "
+    "and the fact shuffles once on the orderkey join.",
+)
+def q_tpch_q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 23:59:59").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return df.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    description="TPC-H Q10 (returned-item reporting): quarter-scoped orders "
+    "drive the fact join (date filter pushed to the orders scan, returnflag "
+    "to the lineitem scan), customer + nation dims broadcast, "
+    "deterministic top-20 via TakeOrdered (revenue DESC, custkey).",
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    description="TPC-H Q13 (customer order-count distribution): left outer "
+    "join so zero-order customers survive with count 0, then a second "
+    "aggregation over the per-customer counts — both aggs partial "
+    "(map-side combine); the orders side pre-aggregates to (custkey, cnt) "
+    "before the outer join so the shuffle carries one row per customer, "
+    "not one per order.",
+)
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # pre-aggregate the fact side: the outer join then joins customer rows
+    # against one row per ordering customer (same result as count-after-join
+    # because count(o_orderkey) counts only matched rows)
+    per_cust_orders = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_cust = (
+        cust.join(per_cust_orders, cust.c_custkey == per_cust_orders.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({_DISC_PRICE_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    description="TPC-H Q15 (top supplier): quarter revenue per supplier, "
+    "then the max filter runs as a window over the AGGREGATED frame (one "
+    "row per supplier) — the fact table is scanned once and never "
+    "re-joined for the scalar max; comparison happens on the exact decimal "
+    "before the final double cast.",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_revenue_dec")
+    )
+    # max over the aggregated frame: #suppliers rows, not #lineitems
+    rev = rev.withColumn(
+        "max_rev", F.max("total_revenue_dec").over(Window.partitionBy())
+    )
+    return (
+        rev.filter(F.col("total_revenue_dec") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue_dec", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+WITH part_qty AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS sum_qty,
+         CAST(count(*) AS DECIMAL(18,0)) AS cnt
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+  GROUP BY l.l_partkey
+)
+SELECT CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+       AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part_qty pq ON pq.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * pq.cnt < pq.sum_qty
+""",
+    description="TPC-H Q17 (small-quantity-order revenue): the correlated "
+    "per-part average subquery becomes one per-part aggregate joined back "
+    "(broadcast — one row per part); the threshold qty < 0.2*avg is "
+    "algebraized to qty*5*cnt < sum so the comparison stays in exact "
+    "decimals with no division.",
+)
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li_brand = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    part_qty = li_brand.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(qty).alias("sum_qty"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("cnt"),
+    )
+    return (
+        li_brand.join(F.broadcast(part_qty), li_brand.l_partkey == F.col("pq_partkey"))
+        .filter(qty * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.lit(7.0),
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    oracle=f"""
+SELECT CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    description="TPC-H Q19 (disjunctive predicates): three OR'd "
+    "brand/size/quantity clauses — Catalyst extracts the common "
+    "sub-predicates it can (quantity range union, brand IN-list) and "
+    "pushes them to both parquet scans before the broadcast join, so the "
+    "OR evaluates over pre-pruned rows instead of gating pushdown "
+    "entirely.",
+)
+def q_tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & qty.between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(c_acctbal AS DECIMAL(18,6)) AS bal, c_custkey, c_nationkey
+  FROM customer WHERE c_acctbal > 0
+), stats AS (
+  SELECT sum(bal) AS total_bal, CAST(count(*) AS DECIMAL(18,0)) AS n FROM pos
+)
+SELECT n.n_name, count(*) AS numcust,
+       CAST(round(sum(p.bal), 2) AS DOUBLE) AS totacctbal
+FROM pos p
+CROSS JOIN stats
+JOIN nation n ON p.c_nationkey = n.n_nationkey
+WHERE p.bal * stats.n > stats.total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n.n_name
+""",
+    description="TPC-H Q22 pattern (dormant high-balance customers): "
+    "above-average positive balance but no order since 2000-01-01. The "
+    "global average is one aggregated row broadcast back over customers "
+    "(bal*n > total avoids division — exact decimals), NOT EXISTS runs as "
+    "a left_anti join against the date-pruned order custkeys (the recency "
+    "filter pushes to the orders scan, shrinking the anti-join build "
+    "side), nation dim broadcast for the final rollup.",
+)
+def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    recent_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pos = cust.filter(F.col("c_acctbal") > 0).withColumn(
+        "bal", F.col("c_acctbal").cast("decimal(18,6)")
+    )
+    stats = pos.agg(
+        F.sum("bal").alias("total_bal"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+    )
+    rich = pos.join(F.broadcast(stats)).filter(
+        F.col("bal") * F.col("n") > F.col("total_bal")
+    )
+    dormant = rich.join(
+        recent_orders, rich.c_custkey == recent_orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+    )

@@ -68,3 +68,48 @@ def test_user_activity_similarity_has_no_pair_join(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan  # block-pair map is broadcast-joined
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_pushes_both_scan_filters(spark, sf_dir):
+    plan = _executed_plan(QUERIES["tpch_q10_returned_items"].build(spark, sf_dir))
+    # quarter filter reaches the orders scan, returnflag the lineitem scan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:2000] or (
+        "o_orderdate" in "".join(p[:300] for p in plan.split("PushedFilters")[1:])
+    )
+    assert any(
+        "l_returnflag" in p[:300] for p in plan.split("PushedFilters")[1:]
+    )
+    # deterministic top-20 without a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q13_preaggregates_orders_side(spark, sf_dir):
+    plan = _executed_plan(QUERIES["tpch_q13_order_distribution"].build(spark, sf_dir))
+    # the orders scan reads only the join key — the per-customer count is
+    # computed before the outer join, so the join carries one row/customer
+    for p in plan.split("ReadSchema")[1:]:
+        head = p[:200]
+        if "o_custkey" in head:
+            assert "o_orderkey" not in head and "o_orderdate" not in head
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["tpch_q15_top_supplier"].build(spark, sf_dir))
+    # the scalar max runs as a window over the aggregated per-supplier frame:
+    # lineitem is scanned exactly once
+    assert plan.count("l_extendedprice") >= 1
+    assert sum("lineitem.parquet" in p for p in plan.split("Location")[1:]) <= 1
+    assert "Window" in plan
+
+
+def test_tpch_q17_broadcasts_part_stats(spark, sf_dir):
+    plan = _executed_plan(QUERIES["tpch_q17_small_qty_revenue"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_and_date_pushdown(spark, sf_dir):
+    plan = _executed_plan(QUERIES["tpch_q22_dormant_customers"].build(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the recency filter prunes the anti-join build side at the scan
+    assert any("o_orderdate" in p[:300] for p in plan.split("PushedFilters")[1:])
