@@ -1510,3 +1510,174 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source").filter(
         F.expr(f"CAST({h16} AS DOUBLE) / 65536.0") < w
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(length(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+""",
+    description="PII scrubbing (the curation step every released corpus "
+    "needs): email / IPv4 / phone patterns counted and masked per document "
+    "— regexp_extract_all + chained regexp_replace, all JVM-side, map-only "
+    "(no shuffle at any scale); patterns are written in the common "
+    "Java-regex/RE2 subset so both engines match identical spans, and the "
+    "masked text is hash-verified, not just counted. Behavior on real PII "
+    "strings is pinned by tests/test_llm_queries.py (the driver corpus is "
+    "synthetic and PII-free, so the oracle here checks the no-match "
+    "identity path).",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term <> ''
+  GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    description="TF-IDF top-3 terms per document (the classic salient-term "
+    "extractor): term frequencies and document frequencies are two partial "
+    "aggregations of one tokenize pass, N is a single broadcast scalar, and "
+    "the score join shuffles on the term key (document frequency table ~ "
+    "vocabulary size, not corpus size). Ordering uses the rounded score "
+    "with a term tie-break so top-3 selection is identical across engines.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
+
+
+@register(
+    "embed_knn_graph",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr, a.label,
+         round({{cos}}, 6) AS sim
+  FROM q a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT src, nbr, label, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rn
+  FROM scored
+) WHERE rn <= 3
+""".replace("{cos}", _COS_SQL),
+    description="k-NN graph construction (the backbone of graph-based ANN "
+    "indexes and embedding-cluster analysis): every 25th vector is a "
+    "query node, candidates are blocked by IVF cell label (same-cell only "
+    "— never an all-pairs corpus join), exact cosine inside the block, "
+    "top-3 edges per node via a per-src window. The query set broadcasts; "
+    "the corpus is touched once with a label-equality join that prunes "
+    "partitions at scale.",
+)
+def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("src")),
+    )
+    dot = _dot(F.col("qv"), F.col("v"))
+    norm = F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(
+        _dot(F.col("v"), F.col("v"))
+    )
+    scored = cand.select(
+        "src",
+        F.col("vec_id").alias("nbr"),
+        "label",
+        F.round(dot / norm, 6).alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), "nbr")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "nbr", "label", "sim")
+    )

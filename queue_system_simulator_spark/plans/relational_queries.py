@@ -443,3 +443,80 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "window_function_showcase",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS seq,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+         AS running_total,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    description="Window-function breadth on one per-customer ordered frame: "
+    "row_number, lag, lead, first_value, running decimal sum, percent_rank, "
+    "cume_dist — Catalyst evaluates all seven in a single sort within one "
+    "shuffle on the partition key (the ordering is made total with the "
+    "orderkey tie-break, so every rank/offset function is deterministic).",
+)
+def q_window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "skew_salted_user_totals",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+    description="Skew-defeating two-phase aggregation: phase 1 groups by "
+    "(user_id, salt) so a hot user's rows spread over 16 reducers, phase 2 "
+    "merges the per-salt partials per user — counts and decimal sums are "
+    "both mergeable, so the result is identical to the direct groupBy while "
+    "no single task ever holds a whole hot key. This is the manual form of "
+    "what AQE skew handling does for joins, applied to aggregation "
+    "(operators/skew.py holds the join-side twin).",
+)
+def q_skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value", "event_id")
+    )
+    partial = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+    )

@@ -111,3 +111,50 @@ def test_corpus_mix_is_deterministic_and_weighted(spark, sf_dir):
     lo = sum(kept.get(f"src{i}", 0) for i in range(3))
     hi = sum(kept.get(f"src{i}", 0) for i in range(17, 20))
     assert lo < hi
+
+
+def test_pii_redact_masks_real_pii(spark, tmp_path):
+    # the driver corpus is synthetic and PII-free, so the oracle check only
+    # exercises the identity path; this pins the actual masking semantics
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from queue_system_simulator_spark.plans.llm_queries import q_pii_redact
+
+    rows = [
+        (1, "contact me at alice.smith+spam@example.co.uk today", "en", "s", 1),
+        (2, "server at 192.168.1.254 port open; call 555-123-4567", "en", "s", 1),
+        (3, "no pii here at all", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "pii")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in q_pii_redact(spark, d).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 1)
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    # masked text differs from the original exactly when PII was found
+    import hashlib
+
+    assert out[3].redacted_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+    assert out[1].redacted_md5 == hashlib.md5(
+        b"contact me at <EMAIL> today"
+    ).hexdigest()
+    assert out[2].redacted_md5 == hashlib.md5(
+        b"server at <IP> port open; call <PHONE>"
+    ).hexdigest()
+
+
+def test_knn_graph_edges_are_same_label_topk(spark, sf_dir):
+    from queue_system_simulator_spark.plans import QUERIES
+
+    edges = QUERIES["embed_knn_graph"].build(spark, sf_dir).collect()
+    assert edges, "sampled query nodes must produce edges"
+    per_src = {}
+    for e in edges:
+        assert e.src % 25 == 0 and e.src != e.nbr
+        per_src.setdefault(e.src, []).append(e.sim)
+    for sims in per_src.values():
+        assert len(sims) <= 3
+        assert sims == sorted(sims, reverse=True)
