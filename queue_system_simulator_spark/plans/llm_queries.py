@@ -353,6 +353,44 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _lsh_candidates(wide: DataFrame) -> DataFrame:
+    """LSH candidate pairs ``(doc_a, doc_b)`` from the wide signature frame.
+
+    Band keys are md5 over the 4 member columns in seed order (== the
+    oracle's string_agg ORDER BY seed); candidates come from a bucket
+    equi-join on (band, band_key) — never all-pairs.
+    """
+    n_bands = NUM_MINHASH // BAND_SIZE
+
+    def band_key(b: int):
+        cols = [F.col(f"mh_{s}") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+        return F.md5(F.concat_ws(",", *cols))
+
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
@@ -384,41 +422,13 @@ FROM est
     "candidate pairs only where a band collides, never all-pairs.",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Work on the WIDE signature frame throughout: band keys are md5 over
-    # the 4 member columns in seed order (== the oracle's string_agg ORDER
-    # BY seed), and the signature-agreement count is 16 column comparisons
-    # evaluated inside the candidate join — the long-format double join +
-    # regroup of the naive plan never happens.  One row per doc crosses the
-    # shuffle per band; candidates stay join-on-bucket, never all-pairs.
-    n_bands = NUM_MINHASH // BAND_SIZE
+    # Work on the WIDE signature frame throughout: the signature-agreement
+    # count is 16 column comparisons evaluated inside the candidate join —
+    # the long-format double join + regroup of the naive plan never
+    # happens.  One row per doc crosses the shuffle per band; candidates
+    # stay join-on-bucket, never all-pairs.
     wide = _minhash_wide(spark, sf_dir).cache()
-
-    def band_key(b: int):
-        cols = [F.col(f"mh_{s}") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
-        return F.md5(F.concat_ws(",", *cols))
-
-    bands = wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(wide)
     sa = wide.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(NUM_MINHASH)],
@@ -1680,4 +1690,144 @@ def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("src", "nbr", "label", "sim")
+    )
+
+
+@register(
+    "minhash_verified_pairs",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard_exact
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+""",
+    description="Candidate-then-verify near-dup (the production two-stage "
+    "pipeline): MinHash-LSH band collisions generate candidate pairs, then "
+    "each candidate is re-scored with EXACT shingle Jaccard — the sketch "
+    "narrows the corpus to candidate pairs, exact verification touches "
+    "only those. The verify stage is two shuffle joins on (doc, shingle) "
+    "whose cost is proportional to candidate shingle mass, never the "
+    "corpus square; zero-overlap candidates (band false positives) "
+    "survive with jaccard 0 so sketch precision is itself observable.",
+)
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _minhash_wide(spark, sf_dir).cache()
+    cand = _lsh_candidates(wide)
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    n_inter = F.coalesce(F.col("i_inter"), F.lit(0))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("long").alias("n_inter"),
+            (F.col("sa") + F.col("sb") - n_inter).cast("long").alias("n_union"),
+            F.round(
+                n_inter.cast("double") / (F.col("sa") + F.col("sb") - n_inter), 6
+            ).alias("jaccard_exact"),
+        )
+    )
+
+
+@register(
+    "kmeans_assign",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS ({_CENTROID_SQL}),
+d AS (
+  SELECT e.vec_id, e.label AS old_label, cent.label AS cand,
+         round(list_aggregate(list_transform(generate_series(1, CAST(len(cent.c) AS INT)),
+               d -> (e.v[CAST(d AS INT)] - cent.c[CAST(d AS INT)])
+                  * (e.v[CAST(d AS INT)] - cent.c[CAST(d AS INT)])), 'sum'), 6) AS l2
+  FROM e CROSS JOIN cent
+)
+SELECT vec_id, old_label, cand AS new_label, l2 AS dist,
+       cand <> old_label AS moved
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY l2, cand) AS rn
+      FROM d)
+WHERE rn = 1
+""",
+    description="k-means Lloyd assignment step (the inner loop of "
+    "embedding clustering / IVF index training): per-cell centroids are a "
+    "k x d frame BROADCAST against the corpus, every vector scores k "
+    "squared-L2 distances map-side, and the argmin is a groupBy-min on a "
+    "(dist, label) struct — one shuffle keyed by vec_id, deterministic "
+    "tie-break on the smaller label. Iterating this query (reassign -> "
+    "re-centroid) is Lloyd's algorithm; each iteration stays "
+    "broadcast+map+partial-agg at any corpus size.",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy(F.col("label").alias("cand"), F.col("pos"))
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("cval"))
+        .groupBy("cand")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("old_label"),
+        F.struct(l2.alias("l2"), F.col("cand").alias("cand")).alias("s"),
+    )
+    best = scored.groupBy("vec_id", "old_label").agg(F.min("s").alias("b"))
+    return best.select(
+        "vec_id",
+        "old_label",
+        F.col("b.cand").alias("new_label"),
+        F.col("b.l2").alias("dist"),
+        (F.col("b.cand") != F.col("old_label")).alias("moved"),
     )

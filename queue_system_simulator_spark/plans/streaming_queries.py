@@ -192,3 +192,29 @@ def q_streaming_enrich_segment_counts(spark: SparkSession, sf_dir: str) -> DataF
             F.count(F.lit(1)).alias("n_events")
         )
     )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT event_type, user_id FROM events
+""",
+    description="State-expiring streaming dedup: dropDuplicatesWithinWatermark "
+    "on (event_type, user_id) under a 60 d event-time watermark — unlike "
+    "plain dropDuplicates (state grows with the key domain forever), state "
+    "here is evicted once the watermark passes a key's last occurrence, so "
+    "the query runs indefinitely at unbounded key cardinality. The test "
+    "window fits inside the delay, so the result equals the batch DISTINCT "
+    "(first occurrence wins); duplicates separated by more than the delay "
+    "would intentionally re-emit in production. Drained in append mode to "
+    "a parquet sink (executor-parallel, no driver funnel).",
+)
+def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    deduped = (
+        stream.select("ts", "event_type", "user_id")
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_type", "user_id"])
+        .select("event_type", "user_id")
+    )
+    return run_available_now(deduped, output_mode="append")
