@@ -67,6 +67,17 @@ HEADLINE = [
     "retention_cohorts",
     "user_activity_similarity",
     "kernel_param_sweep",
+    # round-2 additions: relational breadth + curation/ANN extensions
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "window_function_showcase",
+    "skew_salted_user_totals",
+    "pii_redact",
+    "tfidf_top_terms",
+    "minhash_verified_pairs",
+    "embed_knn_graph",
+    "kmeans_assign",
 ]
 
 

@@ -717,3 +717,52 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("converted").cast("long").alias("n_converting_sessions"),
     )
+
+
+@register(
+    "weighted_value_mean_udaf",
+    oracle="""
+SELECT event_type,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)
+                      * (user_id % 10 + 1)) AS DOUBLE)
+             / sum(user_id % 10 + 1) / 1000000.0, 6) AS weighted_mean
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+    description="Arrow-vectorized UDAF surface (pandas_udf GROUPED_AGG): "
+    "per-type weighted mean of event values with a priority weight. The "
+    "UDF receives whole column batches over Arrow (one call per group, "
+    "never per row) and does its arithmetic in exact scaled integers so "
+    "the result is order- and partitioning-independent — the pattern for "
+    "custom aggregations Spark lacks natively. For anything expressible "
+    "as built-in expressions (like this demo's oracle), prefer the "
+    "built-ins: this query exists to pin the GROUPED_AGG contract the "
+    "engine offers for genuinely custom reducers.",
+)
+def q_weighted_value_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's postponed annotations (future
+    # import) would stringify pd.Series hints and break hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean_scaled(v_scaled, w):
+        # exact integer numerator/denominator -> one double division at the
+        # end: no float-summation order sensitivity across Arrow batches
+        num = int((v_scaled * w).sum())
+        den = int(w.sum())
+        return num / den / 1e6
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000)
+            .cast("bigint")
+            .alias("v_scaled"),
+            (F.col("user_id") % 10 + 1).alias("w"),
+        )
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(wmean_scaled("v_scaled", "w"), 6).alias("weighted_mean")
+    )

@@ -220,15 +220,24 @@ FROM (
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(
+    spark: SparkSession, sf_dir: str, only_docs: DataFrame | None = None
+) -> DataFrame:
     """Distinct 3-gram word shingles per document (Spark side).
 
     Tokenize once into a materialized column, then build the shingle array
     JVM-side with ``transform(sequence(...))`` — re-splitting the text per
     element would multiply the scan cost by the document length.  Fan-out is
     O(tokens) per doc — bounded, shuffle-safe.
+
+    ``only_docs`` (a one-column ``doc_id`` frame) restricts shingling to a
+    document subset BEFORE the tokenize/explode/distinct work — the verify
+    stage of candidate-then-verify pipelines re-shingles only candidate
+    docs, so its cost scales with the candidate set, not the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if only_docs is not None:
+        docs = docs.join(F.broadcast(only_docs), "doc_id", "left_semi")
     # documents arrive as few fat parquet partitions; spread the tokenize +
     # explode across the cluster before the fan-out
     toked = docs.repartition(32).select(
@@ -333,7 +342,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "seed", "minhash")
 
 
-def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_wide(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """Wide MinHash signature frame ``(doc_id, mh_0 .. mh_15)``.
 
     All 16 seed-hashes are computed inline per doc-shingle row and reduced
@@ -345,7 +356,8 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shape, reintroduce the vocab table as a plain shuffle join.)
     Values are identical to the per-seed-explode formulation (and oracle).
     """
-    sh = _shingles(spark, sf_dir)
+    if sh is None:
+        sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh_{s}")
         for s in range(NUM_MINHASH)
@@ -1736,12 +1748,21 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
     "survive with jaccard 0 so sketch precision is itself observable.",
 )
 def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide = _minhash_wide(spark, sf_dir).cache()
-    cand = _lsh_candidates(wide)
-    sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    wide = _minhash_wide(spark, sf_dir)
+    cand = _lsh_candidates(wide).cache()
+    # verify-stage pruning: one full corpus pass builds the signatures;
+    # only CANDIDATE docs are then re-shingled, so everything downstream —
+    # shingle distinct, sizes, intersection joins — scales with the
+    # candidate set (a vanishing fraction of the corpus), not the corpus
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = _shingles(spark, sf_dir, only_docs=cand_docs).cache()
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
