@@ -218,3 +218,85 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         .select("event_type", "user_id")
     )
     return run_available_now(deduped, output_mode="append")
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+mx AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c)) AS wm)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us, c.event_id AS click_id
+FROM p
+LEFT JOIN c ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+CROSS JOIN mx
+WHERE p.ts <= mx.wm - INTERVAL 2 MINUTE
+""",
+    description="Watermarked stream-stream LEFT OUTER interval join: "
+    "purchases emit even with no click in the preceding 10 min (null "
+    "click_id), which requires state-store eviction driven by the "
+    "watermark — an unmatched purchase can only be declared unmatched "
+    "once the watermark proves no qualifying click can still arrive. "
+    "Because a terminating drain (Trigger.AvailableNow) leaves the final "
+    "GLOBAL watermark — min over both streams of (max event time − delay) "
+    "— short of the tail, null-extended rows above it are (correctly) "
+    "withheld; engine and oracle therefore evaluate the stable region "
+    "p_ts <= min(max purchase ts, max click ts) − (delay + slack), which "
+    "is exactly the always-emitted set. In a continuously-running "
+    "deployment there is no tail: every row emits one watermark delay "
+    "after its window closes.",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    purch = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purch.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 10 minutes"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        "click_id",
+    )
+    drained = run_available_now(joined, output_mode="append")
+    # stable-region cutoff = the final global watermark (min over both
+    # streams' max event time) minus delay+slack, from the batch table
+    # (broadcast one-row frame — no driver collect)
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("wm")
+    ).select(F.unix_micros("wm").alias("wm_us"))
+    cutoff_us = 2 * 60 * 1_000_000
+    return drained.crossJoin(F.broadcast(mx)).filter(
+        F.col("purchase_ts_us") <= F.col("wm_us") - cutoff_us
+    ).drop("wm_us")
