@@ -766,3 +766,111 @@ def q_weighted_value_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(wmean_scaled("v_scaled", "w"), 6).alias("weighted_mean")
     )
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    description="SCD-type-2 history construction (the warehouse pattern for "
+    "slowly-changing state): each user's events become validity intervals "
+    "[valid_from, valid_to) via one lead() window per user, the open "
+    "interval flagged current — one shuffle on the natural key, and the "
+    "interval build composes with the asof-join and latest-state queries "
+    "for point-in-time lookups.",
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead(F.unix_micros("ts")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour, value
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value IS NOT NULL
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id, unnest(generate_series(b.h0, b.h1)) AS hour FROM bounds b
+)
+SELECT g.user_id, g.hour,
+       last_value(o.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (o.value IS NULL) AS was_gap
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour
+""",
+    description="Time-series gap filling (forward fill): each user's "
+    "observed hourly value (last observation per hour, deterministic "
+    "tie-break) is projected onto a dense hour grid built with "
+    "sequence()+explode, gaps carry the previous value via "
+    "last(ignorenulls) over an ordered per-user window. Grid generation "
+    "and the fill share one partitioning by user — a single shuffle; the "
+    "grid fan-out is bounded by each user's own time span, so the "
+    "operator shards cleanly at any user count.",
+)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hour = (F.unix_micros("ts") / 3_600_000_000).cast("long")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value", hour.alias("hour"))
+    )
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "value")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("value", ignorenulls=True).over(w_fill).alias("filled_value"),
+            F.col("value").isNull().alias("was_gap"),
+        )
+    )

@@ -1852,3 +1852,67 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.l2").alias("dist"),
         (F.col("b.cand") != F.col("old_label")).alias("moved"),
     )
+
+
+@register(
+    "bigram_lm_doc_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.tokens AS tokens FROM documents d,
+       LATERAL (SELECT string_split(d.text, ' ') AS tokens) t
+),
+big AS (
+  SELECT doc_id, tokens[i] AS a, tokens[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 1, 0))) AS i) s
+),
+cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+ca AS (SELECT a, count(*) AS c_a FROM big GROUP BY a),
+v AS (SELECT count(DISTINCT a) AS vocab FROM ca)
+SELECT g.doc_id,
+       count(*) AS n_bigrams,
+       round(sum(ln((cab.c_ab + 1.0) / (ca.c_a + v.vocab))) / count(*), 6)
+         AS avg_logprob
+FROM big g
+JOIN cab ON g.a = cab.a AND g.b = cab.b
+JOIN ca ON g.a = ca.a
+CROSS JOIN v
+GROUP BY g.doc_id
+""",
+    description="Bigram-LM document scoring (the CCNet-style perplexity "
+    "quality filter): a Laplace-smoothed bigram model is trained on the "
+    "corpus itself (two grouped counts + vocab scalar), then every "
+    "document is scored by its mean bigram log-probability — low scores "
+    "flag boilerplate/garbled text before pretraining. Spark shape: "
+    "bigram explode once, model tables join back on the bigram/unigram "
+    "keys (vocabulary-sized, shuffle-joined), per-doc aggregation. The "
+    "model tables are reusable artifacts — in production they are written "
+    "once and broadcast to score any stream of new documents map-side.",
+)
+def q_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.repartition(32).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    pairs = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+        "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"
+    )
+    big = toked.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = ca.agg(F.count(F.lit(1)).alias("vocab"))
+    logprob = F.log(
+        (F.col("c_ab") + F.lit(1.0)) / (F.col("c_a") + F.col("vocab"))
+    )
+    return (
+        big.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(logprob) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
