@@ -113,3 +113,34 @@ def test_tpch_q22_anti_join_and_date_pushdown(spark, sf_dir):
     assert "LeftAnti" in plan
     # the recency filter prunes the anti-join build side at the scan
     assert any("o_orderdate" in p[:300] for p in plan.split("PushedFilters")[1:])
+
+
+def test_timeseries_gap_fill_shares_user_partitioning(spark, sf_dir):
+    plan = _executed_plan(QUERIES["timeseries_gap_fill"].build(spark, sf_dir))
+    # dense-grid fill is windowed per user — never an unpartitioned window
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_knn_graph_broadcasts_query_nodes(spark, sf_dir):
+    plan = _executed_plan(QUERIES["embed_knn_graph"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_verified_pairs_prunes_to_candidates(spark, sf_dir):
+    plan = _executed_plan(QUERIES["minhash_verified_pairs"].build(spark, sf_dir))
+    # the verify stage must re-shingle only candidate docs: a left-semi
+    # prune against the candidate doc set appears before the second
+    # documents scan feeds the intersection joins
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    plan = _executed_plan(QUERIES["kmeans_assign"].build(spark, sf_dir))
+    # centroids (k x d) broadcast against the corpus: the only exchanges
+    # are the centroid build and the final argmin groupBy — the corpus is
+    # never shuffled for the distance computation itself
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
