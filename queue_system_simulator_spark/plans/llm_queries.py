@@ -1916,3 +1916,42 @@ def q_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(logprob) / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6)
+         AS l2_norm,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive,
+       round(list_max(list_transform(v, x -> abs(x))), 6) AS max_abs,
+       len(list_filter(v, x -> abs(x) > 2.5)) > 0 AS has_extreme
+FROM e
+""",
+    description="Array higher-order-function surface (transform / filter / "
+    "aggregate / exists) over the embedding column: norm, sign census, "
+    "max-abs, and an outlier flag — all lambda expressions compiled "
+    "JVM-side into the row pipeline (zero shuffles, zero UDFs), the "
+    "vector-math vocabulary every embedding pipeline needs without "
+    "leaving whole-stage codegen.",
+)
+def q_array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    sq_sum = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter(F.col("v"), lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.round(F.array_max(F.transform(F.col("v"), F.abs)), 6).alias("max_abs"),
+        F.exists(F.col("v"), lambda x: F.abs(x) > 2.5).alias("has_extreme"),
+    )

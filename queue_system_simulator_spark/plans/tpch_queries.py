@@ -811,3 +811,125 @@ def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         {_DISC_PRICE_SQL} AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 23:59:59'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+    description="TPC-H Q8 (national market share): seven-table star join — "
+    "every dimension (part/supplier/customer/nation x2/region) filtered "
+    "then broadcast, the lineitem-orders fact join is the only big "
+    "shuffle, and the share is a conditional decimal sum over the joined "
+    "volume — the canonical join-reorder stress test, expressed so "
+    "Catalyst's cost-based reordering and AQE get clean cardinalities.",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31 23:59:59").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grp_id,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    description="Explicit GROUPING SETS (the asymmetric subtotal shape "
+    "cube/rollup can't express: detail + one-dimension subtotal + grand "
+    "total only) with grouping_id disambiguating real NULLs from "
+    "subtotal rows — one pass via Expand, partial-aggregated before the "
+    "single shuffle, same engine machinery as the CUBE/ROLLUP queries.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    # groupingSets is SQL-surface in Spark: express it there, money math
+    # follows the module's decimal convention
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                 AS grp_id,
+               CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
