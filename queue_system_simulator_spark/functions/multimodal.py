@@ -326,3 +326,54 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_WINDOWS = 4
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("max_amp", T.LongType()),
+        T.StructField("n_loud", T.LongType()),
+    ]
+)
+
+
+def audio_window_stats(media: DataFrame, n_windows: int = AUDIO_WINDOWS) -> DataFrame:
+    """Windowed amplitude statistics over audio assets (``mapInPandas``).
+
+    The deterministic stand-in for framed DSP feature extraction (RMS/
+    loudness per window): samples are the blob's unsigned bytes, split
+    into ``n_windows`` equal windows (tail remainder dropped, as a fixed
+    frame size would).  All-integer outputs → engine-portable, oracle in
+    plans/multimodal_queries.py re-derives them from the hex string.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                a = np.frombuffer(blob, dtype=np.uint8)
+                wlen = a.size // n_windows
+                if wlen == 0:
+                    continue
+                w = a[: n_windows * wlen].reshape(n_windows, wlen).astype(np.int64)
+                for i in range(n_windows):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            int(wlen),
+                            int(w[i].sum()),
+                            int(w[i].max()),
+                            int((w[i] >= 192).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_WINDOW_SCHEMA]
+            )
+
+    return media.filter("kind = 'audio'").mapInPandas(batches, AUDIO_WINDOW_SCHEMA)

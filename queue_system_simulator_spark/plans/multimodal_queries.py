@@ -133,3 +133,35 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(px).cast("long").alias("min_px"),
         F.array_max(px).cast("long").alias("max_px"),
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=_MEDIA_BYTES_SQL
+    + """
+SELECT media_id,
+       CAST(w.window_idx AS BIGINT) AS window_idx,
+       CAST(len(bytes) // 4 AS BIGINT) AS n_samples,
+       CAST(list_aggregate(win, 'sum') AS BIGINT) AS sum_amp,
+       CAST(list_aggregate(win, 'max') AS BIGINT) AS max_amp,
+       CAST(len(list_filter(win, x -> x >= 192)) AS BIGINT) AS n_loud
+FROM b,
+     LATERAL (SELECT unnest([0, 1, 2, 3]) AS window_idx) w,
+     LATERAL (SELECT bytes[CAST(w.window_idx * (len(bytes) // 4) + 1 AS INT)
+                          :CAST((w.window_idx + 1) * (len(bytes) // 4) AS INT)]
+              AS win) s
+WHERE kind = 'audio' AND len(bytes) // 4 > 0
+""",
+    description="Audio window feature extraction (framed DSP shape): each "
+    "audio asset's samples split into 4 equal windows inside mapInPandas "
+    "(numpy reshape — one vectorized pass per Arrow batch), per-window "
+    "amplitude sum/max and loud-sample count, all exact integers. The "
+    "per-asset fan-out is the window count — bounded, so the operator "
+    "scales with corpus bytes like every other map-only stage.",
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.functions.multimodal import (
+        audio_window_stats,
+    )
+
+    return audio_window_stats(synthesize_media(spark, sf_dir))
