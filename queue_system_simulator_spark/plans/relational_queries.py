@@ -520,3 +520,109 @@ def q_skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "dq_expectations_report",
+    oracle="""
+SELECT 'events' AS tbl, 'row_count' AS expectation,
+       CAST(count(*) AS BIGINT) AS observed, count(*) > 0 AS ok
+FROM events
+UNION ALL
+SELECT 'events', 'event_id_unique',
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+       count(*) = count(DISTINCT event_id) FROM events
+UNION ALL
+SELECT 'events', 'event_type_in_domain',
+       CAST(sum(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                THEN 0 ELSE 1 END) AS BIGINT),
+       sum(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                THEN 0 ELSE 1 END) = 0 FROM events
+UNION ALL
+SELECT 'orders', 'o_orderkey_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(*) = count(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'orders', 'orderdate_not_null',
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+UNION ALL
+SELECT 'lineitem', 'discount_in_range',
+       CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT),
+       sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) = 0 FROM lineitem
+UNION ALL
+SELECT 'customer', 'c_custkey_unique',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+       count(*) = count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'documents', 'n_chars_consistent',
+       CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT),
+       sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) = 0 FROM documents
+UNION ALL
+SELECT 'embeddings', 'vec_id_unique',
+       CAST(count(*) - count(DISTINCT vec_id) AS BIGINT),
+       count(*) = count(DISTINCT vec_id) FROM embeddings
+""",
+    description="Data-quality expectations suite (the dbt-test / "
+    "Great-Expectations contract a pipeline runs after every load): row "
+    "counts, primary-key uniqueness, domain membership, range and "
+    "derived-column consistency checks across five tables in ONE job — "
+    "each check is a one-row partial-aggregated scan, unioned into a "
+    "single report frame, so the whole suite costs one pass per table "
+    "regardless of how many expectations it carries.",
+)
+def q_dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cnt = F.count(F.lit(1))
+
+    def report(df, tbl, expectation, observed_col, ok_col):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(expectation).alias("expectation"),
+            observed_col.cast("long").alias("observed"),
+            ok_col.alias("ok"),
+        )
+
+    domain_viol = F.sum(
+        F.when(
+            F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+            0,
+        ).otherwise(1)
+    )
+    null_dates = F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+    disc_viol = F.sum(F.when(F.col("l_discount").between(0, 1), 0).otherwise(1))
+    nchars_viol = F.sum(
+        F.when(F.col("n_chars") == F.length("text"), 0).otherwise(1)
+    )
+    checks = [
+        report(ev, "events", "row_count", cnt, cnt > 0),
+        report(
+            ev, "events", "event_id_unique",
+            cnt - F.countDistinct("event_id"), cnt == F.countDistinct("event_id"),
+        ),
+        report(ev, "events", "event_type_in_domain", domain_viol, domain_viol == 0),
+        report(
+            orders, "orders", "o_orderkey_unique",
+            cnt - F.countDistinct("o_orderkey"), cnt == F.countDistinct("o_orderkey"),
+        ),
+        report(orders, "orders", "orderdate_not_null", null_dates, null_dates == 0),
+        report(li, "lineitem", "discount_in_range", disc_viol, disc_viol == 0),
+        report(
+            cust, "customer", "c_custkey_unique",
+            cnt - F.countDistinct("c_custkey"), cnt == F.countDistinct("c_custkey"),
+        ),
+        report(docs, "documents", "n_chars_consistent", nchars_viol, nchars_viol == 0),
+        report(
+            emb, "embeddings", "vec_id_unique",
+            cnt - F.countDistinct("vec_id"), cnt == F.countDistinct("vec_id"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
