@@ -1748,7 +1748,9 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
     "survive with jaccard 0 so sketch precision is itself observable.",
 )
 def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide = _minhash_wide(spark, sf_dir)
+    # wide is consumed twice by the band self-join — cache it or the full
+    # shingle+minhash corpus pass runs twice (measured 2.5x slower cold)
+    wide = _minhash_wide(spark, sf_dir).cache()
     cand = _lsh_candidates(wide).cache()
     # verify-stage pruning: one full corpus pass builds the signatures;
     # only CANDIDATE docs are then re-shingled, so everything downstream —
