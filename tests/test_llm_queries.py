@@ -158,3 +158,67 @@ def test_knn_graph_edges_are_same_label_topk(spark, sf_dir):
     for sims in per_src.values():
         assert len(sims) <= 3
         assert sims == sorted(sims, reverse=True)
+
+
+def test_pii_redact_is_idempotent(spark, tmp_path):
+    # masking already-masked text must be a no-op: <EMAIL>/<IP>/<PHONE>
+    # tokens contain no maskable spans themselves
+    from queue_system_simulator_spark.plans.llm_queries import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+        q_pii_redact,
+    )
+
+    rows = [
+        (1, "a@b.co and 10.0.0.1 and 555-123-4567 twice a@b.co", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d1 = str(tmp_path / "p1")
+    docs.write.parquet(f"{d1}/documents.parquet")
+    import pyspark.sql.functions as F  # noqa: F811
+
+    once = q_pii_redact(spark, d1).collect()[0]
+    masked = (
+        spark.read.parquet(f"{d1}/documents.parquet")
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                    _PII_IPV4,
+                    "<IP>",
+                ),
+                _PII_PHONE,
+                "<PHONE>",
+            ).alias("text")
+        )
+        .collect()[0
+        ].text
+    )
+    d2 = str(tmp_path / "p2")
+    spark.createDataFrame(
+        [(1, masked, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d2}/documents.parquet")
+    twice = q_pii_redact(spark, d2).collect()[0]
+    assert (twice.n_emails, twice.n_ips, twice.n_phones) == (0, 0, 0)
+    assert twice.redacted_md5 == once.redacted_md5
+
+
+def test_gap_fill_preserves_observations(spark, sf_dir):
+    from queue_system_simulator_spark.plans import QUERIES
+
+    out = QUERIES["timeseries_gap_fill"].build(spark, sf_dir)
+    # non-gap rows carry their own observed value; gap rows are filled from
+    # an EARLIER hour of the same user, so filled values per user form a
+    # step function whose jumps only happen at observation hours
+    import pyspark.sql.functions as F  # noqa: F811
+
+    bad = out.filter(F.col("was_gap") & F.col("filled_value").isNull())
+    # the first grid hour per user is always an observation, so no
+    # leading-null fills exist
+    assert bad.count() == 0
+    obs_rows = out.filter(~F.col("was_gap")).count()
+    assert obs_rows > 0
