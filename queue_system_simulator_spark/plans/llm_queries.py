@@ -1957,3 +1957,59 @@ def q_array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(F.transform(F.col("v"), F.abs)), 6).alias("max_abs"),
         F.exists(F.col("v"), lambda x: F.abs(x) > 2.5).alias("has_extreme"),
     )
+
+
+CTX_WINDOW = 32  # tokens per context window
+CTX_STRIDE = 16  # overlap stride
+
+
+@register(
+    "context_windows",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tokens AS tokens, len(t.tokens) AS n
+  FROM documents d, LATERAL (SELECT string_split(d.text, ' ') AS tokens) t
+)
+SELECT doc_id,
+       CAST(s.w AS BIGINT) AS window_idx,
+       CAST(least(n - s.w * {CTX_STRIDE}, {CTX_WINDOW}) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+           tokens[CAST(s.w * {CTX_STRIDE} + 1 AS INT)
+                 :CAST(least(s.w * {CTX_STRIDE} + {CTX_WINDOW}, n) AS INT)],
+           ' ')) AS window_md5
+FROM toks,
+     LATERAL (SELECT unnest(generate_series(0,
+                CAST(greatest((n - 1) // {CTX_STRIDE}
+                     - CASE WHEN n > {CTX_WINDOW}
+                            AND (n - {CTX_WINDOW}) % {CTX_STRIDE} = 0
+                            AND (n - 1) // {CTX_STRIDE} > (n - {CTX_WINDOW}) // {CTX_STRIDE}
+                            THEN 0 ELSE 0 END, 0) AS BIGINT))) AS w) s
+WHERE s.w * {CTX_STRIDE} < n
+""",
+    description=f"Sliding context windows ({CTX_WINDOW} tokens, stride "
+    f"{CTX_STRIDE}): every document chunked into overlapping windows — the "
+    "chunking step for embedding models and long-context training; "
+    "window content is hash-verified, not just counted. Map-only with "
+    "bounded ~2x fan-out (token_count/stride windows per doc), no "
+    "shuffle; at 100 TB this runs at scan speed like every per-doc stage.",
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.repartition(32).select(
+        "doc_id", F.split("text", " ").alias("toks"), F.size(F.split("text", " ")).alias("n")
+    )
+    win = F.expr(
+        f"transform(sequence(0, CAST(greatest((n - 1) div {CTX_STRIDE}, 0) AS BIGINT)), "
+        f"w -> struct(w AS window_idx, "
+        f"slice(toks, CAST(w * {CTX_STRIDE} + 1 AS INT), {CTX_WINDOW}) AS wtoks))"
+    )
+    return (
+        toked.select("doc_id", "n", F.explode(win).alias("c"))
+        .filter(F.col("c.window_idx") * CTX_STRIDE < F.col("n"))
+        .select(
+            "doc_id",
+            F.col("c.window_idx").cast("bigint").alias("window_idx"),
+            F.size("c.wtoks").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("c.wtoks"))).alias("window_md5"),
+        )
+    )

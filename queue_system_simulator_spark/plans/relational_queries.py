@@ -626,3 +626,37 @@ def q_dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "shuffle_hash_join_orders",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    description="Join-strategy hint surface: the big-big lineitem x orders "
+    "join pinned to SHUFFLE_HASH — when one side comfortably fits a "
+    "per-task hash map, hashing beats sort-merge by skipping both sorts; "
+    "the hint is how an operator author encodes that knowledge when "
+    "statistics can't see it (the plan guard in tests/test_plans.py "
+    "asserts ShuffledHashJoin is actually chosen).",
+)
+def q_shuffle_hash_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

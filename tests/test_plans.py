@@ -144,3 +144,9 @@ def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
     # are the centroid build and the final argmin groupBy — the corpus is
     # never shuffled for the distance computation itself
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    plan = _executed_plan(QUERIES["shuffle_hash_join_orders"].build(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
