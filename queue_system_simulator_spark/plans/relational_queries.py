@@ -660,3 +660,82 @@ def q_shuffle_hash_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+@register(
+    "weekly_revenue_wow",
+    oracle=f"""
+WITH wk AS (
+  SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT week,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
+             / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE), 6) AS wow_change
+FROM wk
+""",
+    description="Week-over-week revenue change: the lag window runs over "
+    "the AGGREGATED weekly frame (hundreds of rows), never the order "
+    "fact — the correct shape for trend reporting: one partial-aggregated "
+    "shuffle on week, then an O(#weeks) window; the unpartitioned window "
+    "is safe precisely because it follows the aggregation.",
+)
+def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    week_us = 7 * 86_400 * 1_000_000
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / week_us)
+        .cast("long")
+        .alias("week"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+    )
+    wk = orders.groupBy("week").agg(F.sum("p").alias("rev"))
+    w = Window.partitionBy().orderBy("week")
+    prev = F.lag("rev").over(w)
+    return wk.select(
+        "week",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 6).alias(
+            "wow_change"
+        ),
+    )
+
+
+@register(
+    "user_event_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind, CAST(n AS BIGINT) AS n
+FROM wide
+UNPIVOT (n FOR kind IN (n_view AS 'view', n_click AS 'click',
+                        n_purchase AS 'purchase'))
+""",
+    description="Unpivot (wide → long, the inverse of the pivot query): "
+    "the per-user count matrix melts back to (user, kind, n) rows via "
+    "stack() — a pure projection (Generate), no shuffle beyond the "
+    "aggregation that built the wide frame; the schema-evolution-safe way "
+    "to normalize wide metric tables.",
+)
+def q_user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+    )
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'view', n_view, 'click', n_click, 'purchase', n_purchase) "
+            "AS (kind, n)"
+        ),
+    ).select("user_id", "kind", F.col("n").cast("bigint").alias("n"))
