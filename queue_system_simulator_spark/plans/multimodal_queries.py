@@ -76,6 +76,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_features_arrow",
+    oracle=_MEDIA_BYTES_SQL
+    + """
+SELECT media_id, kind,
+       CAST(len(bytes) AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(bytes, 'sum') AS BIGINT) AS sum_bytes,
+       round(CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / len(bytes), 6)
+         AS mean_byte,
+       CAST(list_aggregate(bytes, 'min') AS BIGINT) AS min_byte,
+       CAST(list_aggregate(bytes, 'max') AS BIGINT) AS max_byte,
+       CAST(len(list_filter(bytes, x -> x // 64 = 0)) AS BIGINT) AS hist_0,
+       CAST(len(list_filter(bytes, x -> x // 64 = 1)) AS BIGINT) AS hist_1,
+       CAST(len(list_filter(bytes, x -> x // 64 = 2)) AS BIGINT) AS hist_2,
+       CAST(len(list_filter(bytes, x -> x // 64 = 3)) AS BIGINT) AS hist_3
+FROM b
+""",
+    description="mapInArrow twin of multimodal_features: identical byte "
+    "statistics computed on raw pyarrow RecordBatches — skips the "
+    "Arrow->pandas conversion entirely, the lowest-overhead Python hop "
+    "Spark offers; registered separately so the driver gate proves the "
+    "two Python-boundary APIs are byte-identical on the same oracle.",
+)
+def q_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.functions.multimodal import (
+        extract_features_arrow,
+    )
+
+    return extract_features_arrow(synthesize_media(spark, sf_dir))
+
+
+@register(
     "multimodal_frame_sample",
     oracle=_MEDIA_BYTES_SQL
     + """
