@@ -1,0 +1,32 @@
+"""Docs ↔ registry consistency guards."""
+
+from __future__ import annotations
+
+import re
+
+from queue_system_simulator_spark.plans import QUERIES, all_queries
+
+
+def test_readme_counts_match_registry():
+    src = open("/root/repo/README.md").read()
+    m = re.search(r"# (\d+) registered queries \((\d+) driver-facing\)", src)
+    assert m, "README layout line with query counts missing"
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == len(all_queries())
+
+
+def test_queries_md_count_matches_registry():
+    src = open("/root/repo/QUERIES.md").read()
+    m = re.search(r"(\d+) queries, (\d+) oracle-checked, (\d+) rows-only", src)
+    assert m
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == len(all_queries())
+    assert int(m.group(3)) == len(QUERIES) - len(all_queries())
+
+
+def test_driver_window_is_exactly_fifty_and_oracled():
+    from queue_system_simulator_spark.plans import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    q = all_queries()
+    assert list(q)[:50] == DRIVER_WINDOW
