@@ -52,17 +52,22 @@ DRIVER_WINDOW = [
     "doc_quality_score",
     "doc_fingerprint",
     "ngram_jaccard_pairs",
-    "minhash_signatures",
+    # minhash_signatures / simhash_signatures are exercised inside the
+    # *_pairs queries below; their graded slots go to the round-2
+    # candidate-then-verify and PII-scrubbing flagships
+    "minhash_verified_pairs",
     "minhash_lsh_pairs",
-    "simhash_signatures",
+    "pii_redact",
     "simhash_near_dup_pairs",
     "doc_winnow_fingerprints",
     "dedup_clusters",
     "bpe_pair_frequencies",
     "dataset_split",
     # LLM pipeline: embedding similarity search (brute force + IVF + LSH)
+    # (centroid build is graded inside embed_ivf_probe_topk and
+    # kmeans_assign; the freed slot grades the Lloyd-iteration flagship)
     "embed_cosine_topk",
-    "embed_ivf_centroids",
+    "kmeans_assign",
     "embed_ivf_probe_topk",
     "embed_lsh_bucket_topk",
     "embed_near_dup_pairs",
@@ -73,9 +78,11 @@ DRIVER_WINDOW = [
     # LLM pipeline: multimodal column plumbing
     "multimodal_features",
     "multimodal_frame_sample",
-    # Structured Streaming family
+    # Structured Streaming family (sliding windows are the tumbling path
+    # with a slide param — its slot grades the watermark-evicted OUTER
+    # interval join, the round-2 streaming flagship)
     "streaming_tumbling_counts",
-    "streaming_sliding_api_load",
+    "streaming_interval_join_outer",
     "streaming_session_counts",
     "streaming_interval_join",
     "streaming_fifo_state",
