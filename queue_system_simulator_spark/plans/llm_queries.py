@@ -2013,3 +2013,51 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.col("c.wtoks"))).alias("window_md5"),
         )
     )
+
+
+@register(
+    "pair_graph_triangles",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+),
+e AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+FROM tri
+""",
+    description="Triangle counting on the near-dup pair graph (the "
+    "clustering-coefficient primitive; high triangle density around a "
+    "template family signals boilerplate clusters worth a single "
+    "canonical): edges ordered u<v so each triangle is counted once, two "
+    "self-joins on the edge list — at scale the standard degree-ordered "
+    "orientation keeps the wedge fan-out bounded by the max out-degree, "
+    "and the edge list shuffles on its join key like any fact table.",
+)
+def q_pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _minhash_wide(spark, sf_dir).cache()
+    e = _lsh_candidates(wide).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).cache()
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    wedges = e.join(e2, e.v == e2.b)
+    tri = wedges.join(
+        e3, (wedges.u == e3.a2) & (wedges["c"] == e3.c2)
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges.select(F.col("n_edges").cast("long").alias("n_edges")))
+    )
