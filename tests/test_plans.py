@@ -150,3 +150,47 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     plan = _executed_plan(QUERIES["shuffle_hash_join_orders"].build(spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_new_queries_survive_empty_tables(spark, tmp_path):
+    # empty partitions are routine at cluster scale; every operator must
+    # plan and execute on zero rows (A4 short-circuit analog, applied to
+    # the round-2 additions)
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "empty")
+    schemas = {
+        "events": "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+        "documents": "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+        "embeddings": "vec_id long, embedding array<float>, label int",
+        "orders": "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        "customer": "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+        "lineitem": "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+        "nation": "n_nationkey int, n_name string, n_regionkey int",
+    }
+    for name, schema in schemas.items():
+        spark.createDataFrame([], schema).write.parquet(f"{d}/{name}.parquet")
+
+    empty_ok = [
+        "scd2_user_history",
+        "timeseries_gap_fill",
+        "weekly_revenue_wow",
+        "context_windows",
+        "tfidf_top_terms",
+        "pii_redact",
+        "kmeans_assign",
+        "bigram_lm_doc_score",
+        "tpch_q13_order_distribution",
+        "window_function_showcase",
+        "user_event_unpivot",
+        "skew_salted_user_totals",
+    ]
+    for name in empty_ok:
+        assert QUERIES[name].build(spark, d).count() == 0, name
