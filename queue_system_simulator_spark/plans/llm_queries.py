@@ -2061,3 +2061,52 @@ def q_pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges.select(F.col("n_edges").cast("long").alias("n_edges")))
     )
+
+
+@register(
+    "cluster_aware_split",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN nib < 13 THEN 'train'
+            WHEN nib < 14 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         strpos('0123456789abcdef',
+                substr(md5('clsplit|' || CAST(cluster_id AS VARCHAR)), 1, 1)) - 1
+           AS nib
+  FROM lbl
+)
+""",
+    description="Cluster-aware dataset splitting (leakage-free the whole "
+    "way down): the split hash is taken over the near-dup CLUSTER id, not "
+    "the doc id, so every member of a near-duplicate family lands in the "
+    "same train/val/test split — plain per-doc hashing leaks paraphrases "
+    "of training docs into eval. Composition of the connected-components "
+    "clustering with the deterministic md5 split; one extra map over the "
+    "labeled frame.",
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    nib = F.expr(
+        "instr('0123456789abcdef', "
+        "substr(md5(concat('clsplit|', CAST(cluster_id AS STRING))), 1, 1)) - 1"
+    )
+    split = F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test")
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))
