@@ -874,3 +874,122 @@ def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNull().alias("was_gap"),
         )
     )
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS vt
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+  FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.vt
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+lat AS (
+  SELECT p.user_id, (p.pt - v.vt) AS lat_us FROM p JOIN v ON p.user_id = v.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lat_us, 0.50) / 1000000.0, 6) AS p50_s,
+       round(quantile_cont(lat_us, 0.90) / 1000000.0, 6) AS p90_s,
+       round(quantile_cont(lat_us, 0.99) / 1000000.0, 6) AS p99_s
+FROM lat
+""",
+    description="Conversion-latency distribution (first view → first "
+    "subsequent purchase per user): the funnel stages compose with the "
+    "G3 exact linear-interpolation percentile operator — one latency row "
+    "per converted user, so the exact quantile aggregates a frame the "
+    "size of the user base, not the event log (the grouped-percentile "
+    "scaling argument applied to a derived metric).",
+)
+def q_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("vt"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("tus") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("pt"))
+    )
+    lat = p.join(v, "user_id").select((F.col("pt") - F.col("vt")).alias("lat_us"))
+    pct = F.percentile("lat_us", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(pct[0] / 1_000_000.0, 6).alias("p50_s"),
+        F.round(pct[1] / 1_000_000.0, 6).alias("p90_s"),
+        F.round(pct[2] / 1_000_000.0, 6).alias("p99_s"),
+    )
+
+
+@register(
+    "null_semantics_showcase",
+    oracle="""
+WITH lagged AS (
+  SELECT event_type, value,
+         CASE WHEN value IS NOT DISTINCT FROM
+                   lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS rep
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS n_value_present,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_value_null,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_nonnull,
+       CAST(sum(CASE WHEN nullif(value, 0.0) IS NULL AND value IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_zero,
+       CAST(round(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS total_null_as_zero,
+       CAST(sum(rep) AS BIGINT) AS n_nullsafe_repeats
+FROM lagged
+GROUP BY event_type
+""",
+    description="NULL-semantics surface in one frame: count(col) vs "
+    "count(*), IS NULL census, DISTINCT's null handling, nullif zero "
+    "detection, coalesce imputation inside an exact decimal sum, and "
+    "null-safe equality (IS NOT DISTINCT FROM / <=>) against a lag window "
+    "— the exact three-valued-logic behaviors a migrating user must be "
+    "able to rely on, pinned by the cross-engine hash.",
+)
+def q_null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    with_lag = ev.withColumn(
+        "rep",
+        F.when(F.col("value").eqNullSafe(F.lag("value").over(w)), 1).otherwise(0),
+    )
+    return with_lag.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("value").cast("long").alias("n_value_present"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_value_null"),
+        F.countDistinct("value").cast("long").alias("n_distinct_nonnull"),
+        F.sum(
+            F.when(
+                F.nullif(F.col("value"), F.lit(0.0)).isNull()
+                & F.col("value").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exact_zero"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_null_as_zero"),
+        F.sum("rep").cast("long").alias("n_nullsafe_repeats"),
+    )
