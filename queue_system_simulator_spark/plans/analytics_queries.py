@@ -993,3 +993,39 @@ def q_null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_null_as_zero"),
         F.sum("rep").cast("long").alias("n_nullsafe_repeats"),
     )
+
+
+@register(
+    "events_calendar_profile",
+    oracle="""
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour_of_day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    description="Calendar/seasonality profile (events per day-of-week x "
+    "hour-of-day): the time dimensions are PURE integer epoch arithmetic "
+    "— (epoch_days + 4) % 7 anchors Monday=4-free portable weekday "
+    "numbering on 1970-01-01=Thursday — because engine calendar functions "
+    "disagree on week conventions (Spark dayofweek is 1=Sunday, DuckDB "
+    "dow is 0=Sunday); epoch math is convention-free and identical "
+    "everywhere, the safe pattern for cross-engine time bucketing.",
+)
+def q_events_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us_day = 86_400_000_000
+    us_hour = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("tus"), "user_id"
+    )
+    return (
+        ev.groupBy(
+            (((F.col("tus") / us_day).cast("long") + 4) % 7).alias("dow"),
+            ((F.col("tus") % us_day) / us_hour).cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
