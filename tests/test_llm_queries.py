@@ -222,3 +222,32 @@ def test_gap_fill_preserves_observations(spark, sf_dir):
     assert bad.count() == 0
     obs_rows = out.filter(~F.col("was_gap")).count()
     assert obs_rows > 0
+
+
+def test_lsh_candidates_recall_and_rejection(spark, tmp_path):
+    # recall guarantee: byte-identical documents have identical signatures,
+    # so SOME band always collides -> they are always a candidate pair;
+    # rejection sanity: documents sharing no shingle at all have fully
+    # independent signatures and (here, deterministically) no band match
+    from queue_system_simulator_spark.plans.llm_queries import (
+        _lsh_candidates,
+        _minhash_wide,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, same, "en", "s", len(same)),
+        (2, same, "en", "s", len(same)),
+        (3, other, "en", "s", len(other)),
+    ]
+    d = str(tmp_path / "lsh")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in _lsh_candidates(_minhash_wide(spark, d)).collect()
+    }
+    assert (1, 2) in cand
+    assert (1, 3) not in cand and (2, 3) not in cand
