@@ -1,0 +1,83 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API): the
+request-log generator as a first-class, partitioned, registrable source.
+
+The DataFrame-expression generator (``sources/generator.py``) stays the
+preferred A6 path — it is JVM-side and window-based.  This module exists to
+cover the engine's *source-extension* surface: the same contract a user
+needs to plug a bespoke system (a queue snapshot service, a proprietary log
+API) into Spark as ``spark.read.format("request_log")``:
+
+* ``partitions()`` splits the generation space per user — Spark schedules
+  one task per partition, so the source scales horizontally exactly like a
+  file-based scan (no driver-side row materialization).
+* Rows are generated with a per-user ``random.Random(seed + user)`` stream,
+  so output is deterministic for a given (seed, users, requests) config
+  regardless of task scheduling, retries, or cluster size — the same
+  retry-determinism contract as the DES kernel.
+
+Usage::
+
+    spark.dataSource.register(RequestLogDataSource)
+    df = (spark.read.format("request_log")
+          .option("users", 5).option("requests", 5).option("seed", 42)
+          .load())
+
+Reference semantics mirrored: inter-arrival U(0.1, 1.0) s accumulated
+per user from the epoch, processing_time round(U(1.0, 10.0), 1)
+(``/root/reference/scripts/generate_sample_data.py:10-39``).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_EPOCH = datetime(2023, 1, 1, tzinfo=timezone.utc)
+
+
+class _UserPartition(InputPartition):
+    def __init__(self, user: int, requests: int, seed: int):
+        self.user = user
+        self.requests = requests
+        self.seed = seed
+
+
+class RequestLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.users = int(options.get("users", 5))
+        self.requests = int(options.get("requests", 5))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        # one partition per user: the generation space shards the same way
+        # the downstream per-user kernel does, so a users=1e6 config runs
+        # as 1e6 independent tasks with zero coordination
+        return [
+            _UserPartition(u, self.requests, self.seed) for u in range(self.users)
+        ]
+
+    def read(self, partition: _UserPartition):
+        import random
+
+        rng = random.Random(partition.seed + partition.user)
+        t = _EPOCH
+        for _ in range(partition.requests):
+            t = t + timedelta(seconds=rng.uniform(0.1, 1.0))
+            yield (
+                f"user_{partition.user}",
+                t.replace(tzinfo=None),
+                round(rng.uniform(1.0, 10.0), 1),
+            )
+
+
+class RequestLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "request_log"
+
+    def schema(self) -> str:
+        return "user_id string, request_time timestamp, processing_time double"
+
+    def reader(self, schema) -> RequestLogReader:
+        return RequestLogReader(self.options)

@@ -216,3 +216,38 @@ class TestSchemaEvolution:
         rows = {r.id: r for r in merged.collect()}
         assert rows[1].quality is None  # old generation: evolved column null
         assert rows[3].quality == 0.9
+
+
+def test_python_datasource_request_log(spark):
+    # Spark 4 custom Python DataSource: registrable, partitioned per user,
+    # deterministic under re-read (retry-determinism contract)
+    from queue_system_simulator_spark.sources.pyds_request_log import (
+        RequestLogDataSource,
+    )
+
+    spark.dataSource.register(RequestLogDataSource)
+    reader = (
+        spark.read.format("request_log")
+        .option("users", 4)
+        .option("requests", 6)
+        .option("seed", 7)
+    )
+    a = reader.load()
+    assert a.count() == 24
+    assert set(a.columns) == {"user_id", "request_time", "processing_time"}
+    assert a.select("user_id").distinct().count() == 4
+    # per-user arrivals strictly increase (cumulative gaps > 0)
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    w = Window.partitionBy("user_id").orderBy("request_time")
+    lagged = a.withColumn("prev", F.lag("request_time").over(w))
+    bad = lagged.filter(
+        F.col("prev").isNotNull() & (F.col("request_time") <= F.col("prev"))
+    )
+    assert bad.count() == 0
+    # deterministic: a second read yields identical rows
+    b = reader.load()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # rows feed the standard request-log pipeline schema unchanged
+    assert dict(a.dtypes)["processing_time"] == "double"
