@@ -1029,3 +1029,68 @@ def q_events_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "snapshot_diff_user_state",
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, event_type AS state FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  ) WHERE rn = 1
+),
+t2 AS (
+  SELECT user_id, event_type AS state FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT coalesce(t1.user_id, t2.user_id) AS user_id,
+       t1.state AS state_before, t2.state AS state_after,
+       CASE WHEN t1.user_id IS NULL THEN 'added'
+            WHEN t2.user_id IS NULL THEN 'removed'
+            WHEN t1.state = t2.state THEN 'unchanged'
+            ELSE 'changed' END AS diff
+FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+""",
+    description="Snapshot diff (the CDC/table-versioning primitive): each "
+    "user's latest state at two cutoffs via max_by argmax, FULL OUTER "
+    "joined to classify added/removed/changed/unchanged — how a pipeline "
+    "audits what a backfill or incremental load actually changed. Two "
+    "partial-aggregated scans (the cutoff filter pushes down) and one "
+    "shuffle join on the key.",
+)
+def q_snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+
+    def latest(df):
+        return df.groupBy("user_id").agg(
+            F.max_by("event_type", F.struct("tus", "event_id")).alias("state")
+        )
+
+    t1 = latest(
+        ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    ).select(F.col("user_id").alias("u1"), F.col("state").alias("state_before"))
+    t2 = latest(ev).select(
+        F.col("user_id").alias("u2"), F.col("state").alias("state_after")
+    )
+    j = t1.join(t2, t1.u1 == t2.u2, "full_outer")
+    diff = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("state_before") == F.col("state_after"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        "state_before",
+        "state_after",
+        diff.alias("diff"),
+    )
