@@ -739,3 +739,47 @@ def q_user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (kind, n)"
         ),
     ).select("user_id", "kind", F.col("n").cast("bigint").alias("n"))
+
+
+@register(
+    "subquery_rewrites_demo",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice,
+       (SELECT round(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                          / count(*), 6)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg_price
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+ORDER BY o.o_orderkey
+LIMIT 500
+""",
+    description="Subquery-rewrite surface: a correlated scalar subquery "
+    "(per-customer average price) plus NOT EXISTS, both "
+    "written as plain SQL — Catalyst decorrelates the scalar subquery "
+    "into one aggregate-then-join (not a per-row re-execution) and "
+    "rewrites NOT EXISTS into a left-anti join; the decimal-exact "
+    "average makes the rewritten plan hash-identical to DuckDB's own "
+    "decorrelation. Deterministic top-500 by key.",
+)
+def q_subquery_rewrites_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               (SELECT round(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                  / count(*), 6)
+                FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+                 AS cust_avg_price
+        FROM sq_orders o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sq_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        ORDER BY o.o_orderkey
+        LIMIT 500
+        """
+    )
