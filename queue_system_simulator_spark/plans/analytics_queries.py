@@ -1094,3 +1094,56 @@ def q_snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_after",
         diff.alias("diff"),
     )
+
+
+@register(
+    "value_moments_by_type",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS s1,
+         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+       round((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * n), 6) AS var_pop,
+       round(sqrt((CAST(s2 AS DOUBLE) * n
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * n)), 6) AS stddev_pop
+FROM s
+""",
+    description="Moment statistics with exact power sums: population "
+    "variance/stddev per event_type computed from DECIMAL Σx and Σx² — "
+    "the power sums aggregate exactly (order- and partitioning-"
+    "independent, unlike naive double accumulation or Welford across "
+    "partition boundaries), and only the final closed-form combination "
+    "touches floating point. The same two-pass-free shape Spark's own "
+    "var_pop uses, made bit-portable across engines.",
+)
+def q_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("value").cast("decimal(18,6)")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", v.alias("v"))
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var_pop = (s2_d * F.col("n") - s1_d * s1_d) / (n_d * F.col("n"))
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(s1_d / F.col("n"), 6).alias("mean"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(F.sqrt(var_pop), 6).alias("stddev_pop"),
+    )
