@@ -1147,3 +1147,66 @@ def q_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_pop, 6).alias("var_pop"),
         F.round(F.sqrt(var_pop), 6).alias("stddev_pop"),
     )
+
+
+@register(
+    "events_hourly_ohlc",
+    oracle="""
+WITH v AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, value, epoch_us(ts) AS tus, event_id
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT hour, value,
+         row_number() OVER (PARTITION BY hour ORDER BY tus, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY hour ORDER BY tus DESC, event_id DESC) AS rn_d
+  FROM v
+)
+SELECT hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS volume
+FROM ranked
+GROUP BY hour
+""",
+    description="OHLC bars (the time-series downsampling primitive for "
+    "dashboards and feature windows): per-hour open/high/low/close/volume "
+    "— open and close are deterministic first/last by (ts, event_id) via "
+    "one ascending and one descending row_number over the SAME hour "
+    "partitioning (Catalyst evaluates both in a single sort), then a "
+    "grouped aggregation; one shuffle on the hour key, raw values pass "
+    "through untouched so no float arithmetic at all.",
+)
+def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    us_hour = 3_600_000_000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.unix_micros("ts") / us_hour).cast("long").alias("hour"),
+            "value",
+            F.unix_micros("ts").alias("tus"),
+            "event_id",
+        )
+    )
+    wa = Window.partitionBy("hour").orderBy("tus", "event_id")
+    wd = Window.partitionBy("hour").orderBy(
+        F.col("tus").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "hour",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+    )
