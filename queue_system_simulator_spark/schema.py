@@ -85,10 +85,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # bigint fallback below can run.  Runtime-settable, idempotent, cheap.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+    if name == "events":
+        # Normalize ts to TIMESTAMP (session-tz) whatever the parquet file
+        # stored: INT64 TIMESTAMP(NANOS) surfaces as bigint under
+        # nanosAsLong; timestamp[us] with isAdjustedToUTC=false surfaces as
+        # timestamp_ntz.  Both conversions are identity on the underlying
+        # microsecond value when the session timezone is UTC (session.py
+        # pins UTC; the driver harness runs in a UTC container), so every
+        # downstream unix_micros/window/date_format sees one stable type.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -47,8 +47,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         link.symlink_to(path)
     raw_schema = spark.read.parquet(path).schema  # pre-conversion (ts may be ns-long)
     stream = spark.readStream.schema(raw_schema).format("parquet").load(str(link_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
