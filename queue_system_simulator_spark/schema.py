@@ -84,6 +84,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # PARQUET_TYPE_ILLEGAL on events.ts (INT64 TIMESTAMP(NANOS)) before the
     # bigint fallback below can run.  Runtime-settable, idempotent, cheap.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Foreign sessions (the driver harness builds its own) may run with any
+    # cwd; ship the package so pandas-UDF/applyInPandas closures defined in
+    # this package unpickle on Python workers regardless.
+    from queue_system_simulator_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Normalize ts to TIMESTAMP (session-tz) whatever the parquet file
