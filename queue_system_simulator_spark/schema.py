@@ -66,6 +66,34 @@ TABLE_NAMES = (
 )
 
 
+def tune_foreign_session(spark: SparkSession) -> None:
+    """Pin runtime-settable confs this engine's semantics depend on.
+
+    Callers like the driver harness build their own SparkSession without
+    ``session.get_spark``'s configs.  Two of them matter and are safely
+    settable at runtime:
+
+    * ``spark.sql.session.timeZone=UTC`` — correctness: every time
+      expression (NTZ→LTZ normalization, ``date_format``, window buckets)
+      and every DuckDB oracle assumes UTC wall clocks (the reference
+      normalizes Z-suffixed ISO-8601 to UTC).
+    * ``spark.sql.shuffle.partitions`` — performance: only lowered when
+      still at Spark's out-of-the-box 200, which at test scale makes every
+      shuffle pay ~6× scheduling overhead; a deliberate caller setting is
+      left alone.  (At 100 TB this knob is per-deployment / AQE-coalesced;
+      32 matches the local[32] harness.)
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Required to read TIMESTAMP(NANOS) parquet at all (round-1 testdata
+    # layout); harmless for µs layouts.  Runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table.
 
@@ -83,7 +111,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # their own SparkSession, and without it the parquet reader throws
     # PARQUET_TYPE_ILLEGAL on events.ts (INT64 TIMESTAMP(NANOS)) before the
     # bigint fallback below can run.  Runtime-settable, idempotent, cheap.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tune_foreign_session(spark)
     # Foreign sessions (the driver harness builds its own) may run with any
     # cwd; ship the package so pandas-UDF/applyInPandas closures defined in
     # this package unpickle on Python workers regardless.

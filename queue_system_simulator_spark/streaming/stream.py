@@ -37,8 +37,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events table (schema pinned from
     the batch scan — streaming sources require an explicit schema)."""
     path = f"{sf_dir}/events.parquet"
+    from queue_system_simulator_spark.schema import tune_foreign_session
     from queue_system_simulator_spark.shipping import ensure_shipped
 
+    tune_foreign_session(spark)
     ensure_shipped(spark)  # stateful ops ship package closures to workers
     # FileStreamSource needs a directory; expose the single parquet file
     # through a stable symlink dir (stands in for the S3 prefix a real
