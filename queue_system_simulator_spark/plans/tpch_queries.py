@@ -933,3 +933,175 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "tpch_q4_late_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    description="TPC-H Q4 (order-priority checking) adapted to this schema "
+    "(no commit/receipt dates -> 'late' = shipped >30 days after order "
+    "date): correlated EXISTS expressed as a LEFT SEMI join on the order "
+    "key with the non-equi lateness predicate, then a tiny per-priority "
+    "count. The semi join never materializes matched lineitem rows, and "
+    "the quarter filter is pushed to the orders scan.",
+)
+def q_tpch_q4_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    description="TPC-H Q5 (local supplier volume): revenue from lineitems "
+    "where customer and supplier share an ASIA nation. region->nation->"
+    "supplier and customer are all dimension-sized and broadcast; the only "
+    "fact shuffle is orders<->lineitem on the order key, and the "
+    "same-nation constraint rides the broadcast joins as a cheap filter.",
+)
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ).select("o_orderkey", "c_nationkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey", "n_name")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_9'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    description="TPC-H Q21 (suppliers who kept orders waiting) adapted to "
+    "this schema ('late' = shipped >60 days after order date): the "
+    "EXISTS/NOT-EXISTS pair becomes a LEFT SEMI then LEFT ANTI join on "
+    "the order key — the sole-late-supplier-in-a-multi-supplier-order "
+    "pattern. Supplier/nation dims broadcast; lineitem is scanned once "
+    "per role with column pruning; deterministic top-20 via "
+    "(numwait desc, s_name).",
+)
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    l1 = late.select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
