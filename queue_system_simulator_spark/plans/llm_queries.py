@@ -2110,3 +2110,130 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test")
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+# 8-nibble md5 prefix -> BIGINT, engine-portable: Spark has conv(hex,16,10);
+# DuckDB lacks it, so the oracle uses an explicit nibble polynomial.
+_HEX8_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('smp|' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+SELECT doc_id,
+       n_words,
+       round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+       n_stop_distinct,
+       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_ratio,
+       (n_words BETWEEN 50 AND 100000) AS flag_word_count,
+       (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10) AS flag_mean_word_len,
+       (n_stop_distinct >= 2) AS flag_stopwords,
+       (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS flag_alpha,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
+        AND n_stop_distinct >= 2
+        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS quality_pass
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                            x -> length(x)), 'sum') AS BIGINT)
+           AS sum_len,
+         CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                              x -> x IN {_STOP_SQL})) AS BIGINT)
+           AS n_stop_distinct,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT)
+           AS n_alpha
+  FROM documents
+)
+""",
+    description="Gopher-style document quality rules (Rae et al. 2021 "
+    "§A1.1, adapted to this corpus): word-count bounds, mean-word-length "
+    "bounds, >=2 distinct stopwords, >=80% alphabetic words, plus the "
+    "conjunctive pass flag — all JVM-side higher-order array functions "
+    "over one split, no UDFs, embarrassingly parallel (map-only, no "
+    "shuffle at any scale).",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    n_stop_distinct = F.size(
+        F.filter(F.array_distinct(toks), lambda x: x.isin(*STOPWORDS))
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).cast("long")
+    d = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        sum_len.alias("sum_len"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        n_alpha.alias("n_alpha"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_words")
+    f_wc = F.col("n_words").between(50, 100000)
+    f_mwl = mean_len.between(3, 10)
+    f_stop = F.col("n_stop_distinct") >= 2
+    f_alpha = alpha_ratio >= 0.8
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        "n_stop_distinct",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_stop.alias("flag_stopwords"),
+        f_alpha.alias("flag_alpha"),
+        (f_wc & f_mwl & f_stop & f_alpha).alias("quality_pass"),
+    )
+
+
+@register(
+    "priority_sample_by_source",
+    oracle=f"""
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY -ln(({_HEX8_DUCK} + 1.0) / 4294967297.0) / n_chars,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 10
+""",
+    description="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirtes A-ES): per-source top-10 docs by exponential "
+    "draw -ln(u)/w with weight w=n_chars and u derived from an md5 hash "
+    "of the doc id — reproducible across runs/retries/engines, no RNG "
+    "state. Scale shape: rank is a per-source window over a hash-"
+    "partitioned shuffle of (source, doc_id, key) triples only; with "
+    "heavy sources this drops to the sketch-style top-k-per-group "
+    "pattern, never a global sort.",
+)
+def q_priority_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hex8 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (hex8 + F.lit(1.0)) / F.lit(4294967297.0)
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 10)
+        .select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
+    )
