@@ -78,6 +78,12 @@ HEADLINE = [
     "minhash_verified_pairs",
     "embed_knn_graph",
     "kmeans_assign",
+    # semi/anti-join TPC-H patterns + curation sampling additions
+    "tpch_q4_late_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q21_waiting_suppliers",
+    "gopher_quality_flags",
+    "priority_sample_by_source",
 ]
 
 
