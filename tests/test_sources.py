@@ -251,3 +251,42 @@ def test_python_datasource_request_log(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     # rows feed the standard request-log pipeline schema unchanged
     assert dict(a.dtypes)["processing_time"] == "double"
+
+
+class TestJsonlSource:
+    def test_jsonl_roundtrip_documents(self, spark, sf_dir, tmp_path):
+        from queue_system_simulator_spark.schema import load_table
+        from queue_system_simulator_spark.sources.jsonl_source import (
+            read_documents_jsonl,
+            write_documents_jsonl,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = str(tmp_path / "corpus_jsonl")
+        write_documents_jsonl(docs, out)
+        good, bad = read_documents_jsonl(spark, out)
+        assert bad.count() == 0
+        assert good.schema == docs.schema
+        assert sorted(map(tuple, good.collect())) == sorted(
+            map(tuple, docs.collect())
+        )
+
+    def test_jsonl_corrupt_lines_quarantined(self, spark, tmp_path):
+        from queue_system_simulator_spark.sources.jsonl_source import (
+            read_documents_jsonl,
+        )
+
+        p = tmp_path / "c.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+            "this is not json\n"
+            '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+            '{"doc_id": "NOT_A_NUMBER", "text": "bad type"}\n'
+        )
+        good, bad = read_documents_jsonl(spark, str(p))
+        assert good.count() == 2
+        assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+        assert bad.count() == 2
+        raws = [r["raw"] for r in bad.collect()]
+        assert any("not json" in r for r in raws)
+        assert any("NOT_A_NUMBER" in r for r in raws)
