@@ -194,3 +194,95 @@ def test_new_queries_survive_empty_tables(spark, tmp_path):
     ]
     for name in empty_ok:
         assert QUERIES[name].build(spark, d).count() == 0, name
+
+
+def test_tpch_q4_semi_join_with_pushdown(spark, sf_dir):
+    plan = _executed_plan(QUERIES["tpch_q4_late_priority"].build(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the quarter filter reaches the orders scan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_tpch_q21_semi_then_anti(spark, sf_dir):
+    plan = _executed_plan(
+        QUERIES["tpch_q21_waiting_suppliers"].build(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_dynamic_partition_pruning_on_datalake(spark, sf_dir, tmp_path):
+    """DPP: a selective dim filter prunes fact PARTITIONS at runtime.
+
+    The driver testdata is unpartitioned single files, so demonstrate on
+    the engine's own datalake sink: events partitioned by event_type,
+    joined to a filtered one-row dim -> the fact scan must carry a
+    dynamicpruning subquery on the partition column instead of reading
+    all partitions.
+    """
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+    from queue_system_simulator_spark.sources.sink import write_datalake
+
+    path = str(tmp_path / "events_by_type")
+    write_datalake(
+        load_table(spark, sf_dir, "events"), path, partition_by=["event_type"]
+    )
+    fact = spark.read.parquet(path)
+    # the pruning side must be a file relation with a selective filter —
+    # a LocalRelation dim is constant-folded before the DPP rule sees it
+    dim_path = str(tmp_path / "type_dim")
+    spark.createDataFrame(
+        [("purchase", 1), ("view", 0), ("click", 0)],
+        "event_type string, flag int",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == 1)
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    executed = _executed_plan(joined)
+    assert "dynamicpruning" in executed.lower()
+    assert joined.collect()[0]["event_type"] == "purchase"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: a selective filter on one join side
+    injects a bloom-filter probe on the other, cutting shuffle volume
+    before the join (the 100 TB lever for selective fact-fact joins).
+    Thresholds are lowered only inside this test because the local
+    testdata is far below the production 10 MB creation threshold."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creation side must fit UNDER this cap (build cost bound) …
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # … the probe side must be big enough to be worth filtering …
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # … and the rule skips broadcastable creation sides (broadcast
+        # joins already prune row-level); force the shuffle-join regime
+        # the production-scale fact-fact case would be in.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",  # keep the injected filter visible
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 70000
+        ).select("o_orderkey")
+        joined = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).groupBy().sum("l_quantity")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
