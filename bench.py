@@ -130,6 +130,12 @@ def main() -> None:
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                # the headline list GROWS round over round (40 in r1, 55+
+                # now): compare sec_per_query across rounds, not raw value
+                "n_queries": len([t for t in timings.values() if t > 0]),
+                "sec_per_query": round(
+                    total / max(1, len([t for t in timings.values() if t > 0])), 3
+                ),
                 "queries": timings,
                 "sf": sf,
             }
