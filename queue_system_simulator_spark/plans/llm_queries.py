@@ -2237,3 +2237,120 @@ def q_priority_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _pagerank_iter_sql(n_iters: int, damping: float) -> str:
+    """Unrolled power-iteration CTE chain (DuckDB disallows aggregates in
+    recursive CTE terms, so a fixed iteration count is spelled out)."""
+    d = damping
+    ctes = [
+        f"""edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n_docs FROM documents),
+r0 AS MATERIALIZED (SELECT doc_id, 1.0 / (SELECT n_docs FROM n) AS rank FROM documents)"""
+    ]
+    for i in range(n_iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT d.doc_id,
+         (1.0 - {d}) / (SELECT n_docs FROM n)
+         + {d} * (
+             coalesce(c.contrib, 0)
+             + (SELECT coalesce(sum(p.rank), 0) FROM {prev} p
+                LEFT JOIN deg g ON g.src = p.doc_id
+                WHERE g.src IS NULL) / (SELECT n_docs FROM n)
+           ) AS rank
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.rank / g.outdeg) AS contrib
+    FROM edges e
+    JOIN {prev} p ON p.doc_id = e.src
+    JOIN deg g ON g.src = e.src
+    GROUP BY e.dst
+  ) c ON c.doc_id = d.doc_id
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+_PR_ITERS = 10
+_PR_DAMPING = 0.85
+
+
+@register(
+    "pagerank_near_dup",
+    oracle=f"""
+WITH pairs AS MATERIALIZED ({_LSH_PAIRS_SQL}),
+{_pagerank_iter_sql(_PR_ITERS, _PR_DAMPING)}
+SELECT doc_id, round(rank * 1000000, 3) AS rank_ppm
+FROM r{_PR_ITERS}
+""",
+    description="PageRank over the MinHash-LSH near-dup pair graph "
+    f"({_PR_ITERS} unrolled power iterations, damping {_PR_DAMPING}, "
+    "dangling mass redistributed uniformly): ranks centrality inside "
+    "near-duplicate families — high-rank docs are canonical-copy "
+    "candidates, a better keep-heuristic than min(doc_id). Scale shape: "
+    "each iteration is one join edges-to-ranks + one aggregation on the "
+    "destination key, i.e. the standard distributed PageRank step; edge "
+    "and rank frames stay hash-partitioned on the join key so iterations "
+    "reuse the partitioning. Rank output scaled to ppm and rounded to "
+    "absorb engine summation-order ulps.",
+)
+def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _minhash_wide(spark, sf_dir).cache()
+    pairs = _lsh_candidates(wide)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").cache()
+    n_docs = docs.count()  # plan-time scalar: teleport denominator
+    rank = docs.select("doc_id", (F.lit(1.0) / n_docs).alias("rank"))
+    src_deg = edges.join(deg, "src")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            src_deg.join(rank.withColumnRenamed("doc_id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass as a ONE-ROW FRAME cross-joined into the lineage —
+        # never a per-iteration driver action (a .first() here would
+        # recompute the whole rank lineage every iteration: O(iters^2))
+        dang = (
+            rank.join(
+                deg.withColumnRenamed("src", "doc_id"), "doc_id", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        rank = (
+            docs.join(contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "doc_id",
+                (
+                    F.lit((1.0 - _PR_DAMPING) / n_docs)
+                    + F.lit(_PR_DAMPING)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / n_docs
+                    )
+                ).alias("rank"),
+            )
+            # truncate the lineage each step: the rank frame is n_docs rows
+            # (tiny vs the corpus), and without this the logical plan
+            # doubles per iteration (contrib + dangling both re-reference
+            # the previous rank)
+            .localCheckpoint(eager=True)
+        )
+    return rank.select(
+        "doc_id", F.round(F.col("rank") * 1_000_000, 3).alias("rank_ppm")
+    )
