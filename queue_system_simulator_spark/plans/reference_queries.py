@@ -600,3 +600,41 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+            AS BIGINT) AS n_missing_key,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    description="Schema-LESS semi-structured path (Spark 4 VariantType): "
+    "parse_json turns the props payload into a binary variant once, "
+    "variant_get extracts typed fields by JSON path with no declared "
+    "schema — the twin of json_props_extract for payloads whose shape "
+    "is not known up front. Missing paths yield NULL (counted here to "
+    "pin that semantics). Variant decode stays JVM-side; at 100 TB this "
+    "is the shredded-storage-ready representation.",
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            F.variant_get(v, "$.missing", "long").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("m").alias("n_missing_key"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

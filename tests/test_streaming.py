@@ -242,3 +242,58 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     n_total = ev.count()
     assert result.count() == n_total  # no loss, no duplicates
     assert result.select("event_id").distinct().count() == n_total
+
+
+def test_foreach_batch_idempotent_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch + deterministic per-batch partition overwrite = the
+    exactly-once pattern for sinks without a transactional log (JDBC,
+    object stores): each microbatch writes to batch_id=<id>, so a REPLAYED
+    batch (crash between sink write and offset commit) overwrites its own
+    partition instead of duplicating rows."""
+    import os
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "event_id long, user_id long"
+    ).repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    out = str(tmp_path / "out")
+    seen = []
+
+    def upsert(batch_df, batch_id: int):
+        seen.append(batch_id)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .format("parquet")
+        .load(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 2  # maxFilesPerTrigger split the input
+
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    # simulate the crash-replay: rerun a committed batch with the same id
+    replay_df = spark.read.parquet(src_dir).limit(37)
+    upsert(replay_df, seen[0])
+    replayed = spark.read.parquet(out)
+    # the replayed batch replaced its partition — total rows still exactly
+    # the union of per-batch last-writes, no duplicates by (batch, event)
+    per_batch = dict(
+        replayed.groupBy("batch_id").count().rdd.map(tuple).collect()
+    )
+    assert per_batch[seen[0]] == 37
+    assert replayed.select("event_id", "batch_id").distinct().count() == replayed.count()
