@@ -2354,3 +2354,67 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(
         "doc_id", F.round(F.col("rank") * 1_000_000, 3).alias("rank_ppm")
     )
+
+
+_KMEANS_ASSIGN_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS ({_CENTROID_SQL}),
+d AS (
+  SELECT e.vec_id, e.label AS old_label, cent.label AS cand,
+         round(list_aggregate(list_transform(generate_series(1, CAST(len(cent.c) AS INT)),
+               d -> (e.v[CAST(d AS INT)] - cent.c[CAST(d AS INT)])
+                  * (e.v[CAST(d AS INT)] - cent.c[CAST(d AS INT)])), 'sum'), 6) AS l2
+  FROM e CROSS JOIN cent
+)
+SELECT vec_id, old_label, cand AS new_label, l2 AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY l2, cand) AS rn
+      FROM d)
+WHERE rn = 1
+"""
+
+
+@register(
+    "kmeans_medoid_keep",
+    oracle=f"""
+WITH assign AS ({_KMEANS_ASSIGN_SQL})
+SELECT new_label AS cluster, vec_id AS keep_vec_id, dist,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT vec_id, new_label, dist,
+         row_number() OVER (PARTITION BY new_label ORDER BY dist, vec_id) AS rn,
+         count(*) OVER (PARTITION BY new_label) AS n_members
+  FROM assign
+)
+WHERE rn = 1
+""",
+    description="Semantic-dedup canonical selection: after the Lloyd "
+    "assignment, keep exactly ONE representative per embedding cluster — "
+    "the vector nearest its centroid (medoid-style, tie-break on vec_id), "
+    "with the member count it stands for. This is the keep-policy stage "
+    "of embedding-based dedup: clusters collapse to canonical docs and "
+    "n_members preserves the original mass for loss-aware sampling. Same "
+    "broadcast+map+window shape as the assignment; the extra stage is one "
+    "per-cluster top-1 window, never a global sort.",
+)
+def q_kmeans_medoid_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assign = q_kmeans_assign(spark, sf_dir)
+    w = Window.partitionBy("new_label").orderBy("dist", "vec_id")
+    wc = Window.partitionBy("new_label")
+    return (
+        assign.select(
+            "vec_id",
+            "new_label",
+            "dist",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_label").alias("cluster"),
+            F.col("vec_id").alias("keep_vec_id"),
+            "dist",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
