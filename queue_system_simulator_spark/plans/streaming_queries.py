@@ -19,6 +19,7 @@ from queue_system_simulator_spark.streaming.stream import (
     sliding_api_load,
     stream_events,
     streaming_fifo_k1,
+    streaming_rate_limiter,
     tumbling_counts,
 )
 
@@ -300,3 +301,31 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     return drained.crossJoin(F.broadcast(mx)).filter(
         F.col("purchase_ts_us") <= F.col("wm_us") - cutoff_us
     ).drop("wm_us")
+
+
+@register(
+    "streaming_rate_limit",
+    oracle="""
+SELECT event_id,
+       CAST(event_id % 5 + 1 AS INTEGER) AS api_id,
+       CAST(count(*) OVER (
+         PARTITION BY event_id % 5
+         ORDER BY epoch_us(ts)
+         RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS calls_in_window,
+       count(*) OVER (
+         PARTITION BY event_id % 5
+         ORDER BY epoch_us(ts)
+         RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) <= 60 AS allowed
+FROM events
+""",
+    description="ONLINE E5 rate limiter: per-API sliding 60 s admission "
+    "via applyInPandasWithState — group state is the deque of in-window "
+    "call timestamps (evict now-ts>60 s, the reference limiter's own "
+    "bound), carried across microbatches, peer-inclusive counts matching "
+    "the batch RANGE frame bit-for-bit. Completes the E5 story: batch "
+    "analysis (rate_limit_sliding) ≡ online stateful stream ≡ SQL oracle.",
+)
+def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(streaming_rate_limiter(stream), output_mode="append")

@@ -376,3 +376,77 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+RATE_LIMIT_OUTPUT = (
+    "event_id long, api_id int, calls_in_window long, allowed boolean"
+)
+#: Per-API state: JSON list of event timestamps (integer µs) still inside
+#: the sliding window — the deque of /root/reference/src/api_client.py:13-24.
+RATE_LIMIT_STATE_SCHEMA = "recent string"
+
+
+def streaming_rate_limiter(
+    events: DataFrame, num_apis: int = 5, rpm_limit: int = 60
+) -> DataFrame:
+    """ONLINE sliding-window rate limiter via ``applyInPandasWithState``.
+
+    The true streaming twin of SURVEY §2 E5 (the batch analysis form is
+    ``rate_limit_sliding``): per API, group state holds the deque of call
+    timestamps still inside the trailing 60 s window (evict now−ts>60 s,
+    reference ``api_client.py:17-24``), carried across microbatches.  Count
+    semantics exactly match the batch RANGE frame (peer-inclusive: all
+    calls sharing one timestamp see the full peer count), so the drained
+    stream is oracle-checked against the same SQL.  State is bounded by
+    arrival rate × 60 s per API — the reference's own deque bound.  Rows
+    with one event time split across microbatches would undercount peers;
+    the registered query drains the corpus with availableNow (single
+    source file → one batch), and a production deployment keys watermarked
+    event-time order into the source.
+    """
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_us = 60_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        recent = np.array(
+            json.loads(state.get[0]) if state.exists else [], dtype=np.int64
+        )
+        batch = batch.sort_values(["ts_us", "event_id"])
+        ts = batch["ts_us"].to_numpy(dtype=np.int64)
+        all_ts = np.sort(np.concatenate([recent, ts]))
+        # peer-inclusive RANGE count, fully vectorized: for each call at t,
+        # #{calls with ts in [t-60s, t]} over carried state + this batch
+        n = np.searchsorted(all_ts, ts, side="right") - np.searchsorted(
+            all_ts, ts - win_us, side="left"
+        )
+        state.update((json.dumps(all_ts[all_ts >= int(ts[-1]) - win_us].tolist()),))
+        yield pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(dtype=np.int64),
+                "api_id": np.full(len(ts), int(key[0]) + 1, dtype=np.int32),
+                "calls_in_window": n.astype(np.int64),
+                "allowed": n <= rpm_limit,
+            }
+        )
+
+    keyed = events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("event_id") % num_apis).alias("api"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keyed.groupBy("api").applyInPandasWithState(
+        fn,
+        outputStructType=RATE_LIMIT_OUTPUT,
+        stateStructType=RATE_LIMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
