@@ -84,6 +84,10 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "gopher_quality_flags",
     "priority_sample_by_source",
+    # variant path, semantic-dedup keep, online limiter
+    "variant_props_extract",
+    "kmeans_medoid_keep",
+    "streaming_rate_limit",
 ]
 
 
