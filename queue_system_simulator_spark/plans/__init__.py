@@ -78,11 +78,15 @@ DRIVER_WINDOW = [
     # LLM pipeline: multimodal column plumbing
     "multimodal_features",
     "multimodal_frame_sample",
+    # §2 E2: strict-priority kernel, the probabilistic dequeue pinned
+    # deterministic (bias=1.0) so the two-class routing is hash-graded
+    # rather than rows-only (its slot displaces the OUTER interval join,
+    # which stays registered + locally gated — inner interval join and
+    # the stateful kernel still represent stream-stream state here)
+    "kernel_priority_oracle",
     # Structured Streaming family (sliding windows are the tumbling path
-    # with a slide param — its slot grades the watermark-evicted OUTER
-    # interval join, the round-2 streaming flagship)
+    # with a slide param)
     "streaming_tumbling_counts",
-    "streaming_interval_join_outer",
     "streaming_session_counts",
     "streaming_interval_join",
     "streaming_fifo_state",

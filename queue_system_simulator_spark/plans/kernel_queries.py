@@ -14,7 +14,7 @@ Exactness: the kernel is fed *integer microseconds represented as doubles*
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from queue_system_simulator_spark.operators.fifo import fifo_k1_timeline_sql
@@ -293,4 +293,114 @@ def q_kernel_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_api_limited"),
         )
         .orderBy("k", "rpm")
+    )
+
+
+#: Exact DuckDB twin of the STRICT-priority (bias=1.0) two-class kernel
+#: (E2 with the probabilistic dequeue pinned deterministic): single worker,
+#: priority class = processing < 20 s (micros-scale), dequeue always
+#: prefers priority then falls back (reference corrected dequeue,
+#: /root/reference/src/queue_manager.py:188-221, rng.random() < 1.0 always
+#: true), FIFO within class, arrivals at exactly the dequeue instant are
+#: eligible (drain-before-dequeue pass ordering, simulator.py:195-258).
+#: The recursive CTE serves ONE job per group per step: state = (last
+#: finish, pending list of (cls, a_us, seq, p_us) structs); the next
+#: service instant is max(last_finish, earliest pending arrival), the
+#: served job is the lexicographic min struct among those arrived by then.
+_KERNEL_PRIORITY_ORACLE = """
+WITH RECURSIVE req AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         event_id AS seq,
+         epoch_us(ts) AS a_us,
+         CAST(round(value * 100) AS BIGINT) * 10000 AS p_us,
+         CASE WHEN CAST(round(value * 100) AS BIGINT) * 10000 < 20000000
+              THEN 0 ELSE 1 END AS cls
+  FROM events
+),
+sim AS (
+  SELECT user_id,
+         CAST(0 AS BIGINT) AS step,
+         CAST(NULL AS BIGINT) AS seq,
+         CAST(NULL AS BIGINT) AS a_us,
+         CAST(NULL AS BIGINT) AS s_us,
+         CAST(NULL AS BIGINT) AS f_us,
+         CAST(NULL AS BIGINT) AS cls,
+         CAST(0 AS BIGINT) AS f_last,
+         pending
+  FROM (
+    SELECT user_id,
+           list(struct_pack(cls := cls, a_us := a_us, seq := seq,
+                            p_us := p_us)) AS pending
+    FROM req GROUP BY user_id
+  )
+  UNION ALL
+  SELECT user_id, step + 1,
+         c.seq, c.a_us, cut, cut + c.p_us, c.cls,
+         cut + c.p_us,
+         list_filter(pending, x -> x.seq <> c.seq)
+  FROM (
+    SELECT user_id, step, f_last, pending, cut,
+           list_sort(list_filter(pending, x -> x.a_us <= cut))[1] AS c
+    FROM (
+      SELECT *,
+             greatest(f_last,
+                      list_min(list_transform(pending, x -> x.a_us))) AS cut
+      FROM sim
+      WHERE len(pending) > 0
+    )
+  )
+)
+SELECT user_id, seq,
+       a_us / 1000000 AS arrival_s,
+       s_us / 1000000 AS start_s,
+       f_us / 1000000 AS finish_s,
+       (s_us - a_us) / 1000000 AS queuing_s,
+       CAST(cls = 0 AS BOOLEAN) AS is_priority,
+       step AS service_order
+FROM sim WHERE step > 0
+"""
+
+
+@register(
+    "kernel_priority_oracle",
+    oracle=_KERNEL_PRIORITY_ORACLE,
+    description="Two-class priority kernel (E2), driver-graded: the DES "
+    "kernel with queue_mode=priority and the probabilistic dequeue pinned "
+    "deterministic (bias=1.0 -> always prefer the priority class, the "
+    "reference's corrected dequeue with rng.random()<1.0 always true), "
+    "k=1, limiter disabled — checked against an exact recursive-CTE "
+    "oracle that serves one job per step from a pending-list state. "
+    "Grades the E2 routing (processing<threshold -> priority, FIFO within "
+    "class, drain-before-dequeue eligibility) that kernel_priority_sim "
+    "can only rows-check (its bias<1 path is RNG-coupled by design).",
+)
+def q_kernel_priority_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_micro(spark, sf_dir)
+    params = SimParams(
+        num_workers=1,
+        queue_mode="priority",
+        priority_bias=1.0,
+        # _events_micro passes processing_time in MICROSECONDS; the
+        # threshold must be on the same scale (20 s = 2e7 µs)
+        priority_threshold_seconds=20_000_000.0,
+        num_apis=1,
+        rpm_limit=1_000_000_000,
+    )
+    res = simulate(df, params, group_cols=["user_id"], shards=64)
+    m = 1_000_000
+    w = Window.partitionBy("user_id").orderBy(
+        "start_processing_time_by_worker", "seq"
+    )
+    return res.select(
+        "user_id",
+        "seq",
+        (F.col("sim_arrival_time") / m).alias("arrival_s"),
+        (F.col("start_processing_time_by_worker") / m).alias("start_s"),
+        (F.col("finish_processing_time_by_worker") / m).alias("finish_s"),
+        (
+            (F.col("start_processing_time_by_worker") - F.col("sim_arrival_time"))
+            / m
+        ).alias("queuing_s"),
+        (F.col("processing_time") < 20_000_000.0).alias("is_priority"),
+        F.row_number().over(w).cast("long").alias("service_order"),
     )
