@@ -84,10 +84,14 @@ DRIVER_WINDOW = [
     # which stays registered + locally gated — inner interval join and
     # the stateful kernel still represent stream-stream state here)
     "kernel_priority_oracle",
+    # §2 E3: k=2 workers against the two-slot busy recurrence (its slot
+    # displaces the session-window query — the windowed-agg streaming
+    # family stays represented by tumbling_counts; session_counts remains
+    # registered + locally gated)
+    "kernel_fifo_k2_oracle",
     # Structured Streaming family (sliding windows are the tumbling path
     # with a slide param)
     "streaming_tumbling_counts",
-    "streaming_session_counts",
     "streaming_interval_join",
     "streaming_fifo_state",
     # custom operators Spark lacks natively

@@ -404,3 +404,85 @@ def q_kernel_priority_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("processing_time") < 20_000_000.0).alias("is_priority"),
         F.row_number().over(w).cast("long").alias("service_order"),
     )
+
+
+#: Exact DuckDB twin of the k=2 FIFO kernel (E3 k-worker semantics, timing
+#: view): FIFO service order == arrival order, so the recursive CTE steps
+#: one request per group (like the bounded oracle) carrying the two
+#: busy-until slots as state.  Request i starts at
+#: max(arrival_i, min(busy)) — the earliest-free worker; the worker-id
+#: ascending scan (quirk 4) decides WHICH slot when both are free, which
+#: affects ids only, not times, so the timing recurrence replaces the
+#: freed min slot.  Limiter disabled to isolate E3.
+_KERNEL_K2_ORACLE = """
+WITH RECURSIVE req AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         event_id AS seq,
+         epoch_us(ts) AS a_us,
+         CAST(round(value * 100) AS BIGINT) * 10000 AS p_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+sim AS (
+  SELECT user_id,
+         CAST(0 AS BIGINT) AS rn,
+         CAST(NULL AS BIGINT) AS seq,
+         CAST(NULL AS BIGINT) AS a_us,
+         CAST(NULL AS BIGINT) AS s_us,
+         CAST(NULL AS BIGINT) AS f_us,
+         CAST(0 AS BIGINT) AS busy1,
+         CAST(0 AS BIGINT) AS busy2
+  FROM (SELECT DISTINCT user_id FROM req)
+  UNION ALL
+  SELECT r.user_id, r.rn, r.seq, r.a_us,
+         greatest(r.a_us, least(s.busy1, s.busy2)),
+         greatest(r.a_us, least(s.busy1, s.busy2)) + r.p_us,
+         least(greatest(r.a_us, least(s.busy1, s.busy2)) + r.p_us,
+               greatest(s.busy1, s.busy2)),
+         greatest(greatest(r.a_us, least(s.busy1, s.busy2)) + r.p_us,
+                  greatest(s.busy1, s.busy2))
+  FROM sim s JOIN req r ON r.user_id = s.user_id AND r.rn = s.rn + 1
+)
+SELECT user_id, seq,
+       a_us / 1000000 AS arrival_s,
+       s_us / 1000000 AS start_s,
+       f_us / 1000000 AS finish_s,
+       (s_us - a_us) / 1000000 AS queuing_s
+FROM sim WHERE rn > 0
+"""
+
+
+@register(
+    "kernel_fifo_k2_oracle",
+    oracle=_KERNEL_K2_ORACLE,
+    description="k-worker semantics (E3), driver-graded: the DES kernel "
+    "with k=2 workers in FIFO mode against the exact two-slot recurrence "
+    "start_i = max(arrival_i, min(busy_until)) — FIFO preserves arrival "
+    "order, so a recursive CTE stepping one request per group carries "
+    "both busy-until slots as state. Worker-id assignment (ascending "
+    "scan, quirk 4) affects only which physical worker serves, never the "
+    "times; the limiter is disabled to isolate E3.",
+)
+def q_kernel_fifo_k2_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_micro(spark, sf_dir)
+    params = SimParams(
+        num_workers=2,
+        queue_mode="fifo",
+        queue_max_size=None,
+        num_apis=1,
+        rpm_limit=1_000_000_000,
+    )
+    res = simulate(df, params, group_cols=["user_id"], shards=64)
+    m = 1_000_000
+    return res.select(
+        "user_id",
+        "seq",
+        (F.col("sim_arrival_time") / m).alias("arrival_s"),
+        (F.col("start_processing_time_by_worker") / m).alias("start_s"),
+        (F.col("finish_processing_time_by_worker") / m).alias("finish_s"),
+        (
+            (F.col("start_processing_time_by_worker") - F.col("sim_arrival_time"))
+            / m
+        ).alias("queuing_s"),
+    )
