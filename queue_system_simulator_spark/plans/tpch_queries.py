@@ -1105,3 +1105,59 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(round(sum(
+         {_DISC_PRICE_SQL}
+         - CAST(round(CAST(p.p_retailprice AS DECIMAL(18,6))
+                      * CAST(0.6 AS DECIMAL(18,6)), 2) AS DECIMAL(18,6))
+           * CAST(l.l_quantity AS DECIMAL(18,6))
+       ), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    description="TPC-H Q9 (product-type profit) adapted to this schema "
+    "(no partsupp table, so supply cost is derived deterministically as "
+    "60% of retail price rounded to cents): profit per supplier nation "
+    "per order year over name-filtered parts. part/supplier/nation are "
+    "broadcast (the name filter prunes part before the join); the only "
+    "fact-fact shuffle is lineitem-orders on the order key; decimal "
+    "money math keeps partial aggregation exact.",
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    pseudo_cost = F.round(
+        _dec(F.col("p_retailprice")) * _dec(F.lit(0.6)), 2
+    ).cast("decimal(18,6)")
+    part = part.select("p_partkey", pseudo_cost.alias("cost"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = _disc_price() - F.col("cost") * _dec(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
