@@ -88,6 +88,10 @@ HEADLINE = [
     "variant_props_extract",
     "kmeans_medoid_keep",
     "streaming_rate_limit",
+    # hash-graded kernel modes (E2 strict-priority, E3 two-worker) + Q9
+    "kernel_priority_oracle",
+    "kernel_fifo_k2_oracle",
+    "tpch_q9_product_profit",
 ]
 
 
