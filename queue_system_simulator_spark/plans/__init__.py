@@ -89,10 +89,14 @@ DRIVER_WINDOW = [
     # family stays represented by tumbling_counts; session_counts remains
     # registered + locally gated)
     "kernel_fifo_k2_oracle",
+    # §2 E5+E6: the deterministic limiter + round-robin fallback run
+    # (its slot displaces the inner interval join; stream-stream state
+    # stays represented by streaming_fifo_state, windowed aggs by
+    # tumbling_counts — both interval joins remain registered + gated)
+    "kernel_api_rotation_oracle",
     # Structured Streaming family (sliding windows are the tumbling path
     # with a slide param)
     "streaming_tumbling_counts",
-    "streaming_interval_join",
     "streaming_fifo_state",
     # custom operators Spark lacks natively
     "asof_join_purchase",

@@ -486,3 +486,128 @@ def q_kernel_fifo_k2_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             / m
         ).alias("queuing_s"),
     )
+
+
+#: Exact DuckDB twin of the E5+E6 limiter path: FIFO/k=1 over ONE global
+#: run with num_apis=5, rpm_limit=1 — the per-API sliding window plus the
+#: round-robin fallback from the last successful index
+#: (/root/reference/src/api_client.py:13-24,26-90) is fully deterministic
+#: (no RNG anywhere in the limiter), so used_api_id is hash-gradable.
+#: Time is fed in whole SECONDS (exact integers) so the limiter's
+#: 60-unit window binds: with rpm_limit=1 an API that served a call is
+#: closed for 60 s, and with mean service ~50 s the rotation advances on
+#: nearly every call.  State per step = (f_last, current index, last stamp
+#: per API — rpm_limit=1 collapses each window deque to one timestamp).
+_KERNEL_API_ORACLE = """
+WITH RECURSIVE req AS (
+  SELECT * FROM (
+    SELECT event_id AS seq,
+           epoch_us(ts) // 1000000 AS a_s,
+           CAST(round(value) AS BIGINT) AS p_s,
+           row_number() OVER (ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+    FROM events
+  ) WHERE rn <= 2500
+),
+sim AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS seq,
+         CAST(NULL AS BIGINT) AS a_s, CAST(NULL AS BIGINT) AS s_s,
+         CAST(NULL AS BIGINT) AS f_s, CAST(NULL AS INTEGER) AS api,
+         CAST(0 AS BIGINT) AS f_last, CAST(0 AS INTEGER) AS cur,
+         CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+         CAST(0 AS BIGINT) AS l2, CAST(0 AS BIGINT) AS l3,
+         CAST(0 AS BIGINT) AS l4
+  UNION ALL
+  SELECT rn, seq, a_s, s, s + p_s, chosen_api,
+         s + p_s,
+         CAST(coalesce(chosen_api - 1, cur) AS INTEGER),
+         CASE WHEN chosen_api = 1 THEN s ELSE l0 END,
+         CASE WHEN chosen_api = 2 THEN s ELSE l1 END,
+         CASE WHEN chosen_api = 3 THEN s ELSE l2 END,
+         CASE WHEN chosen_api = 4 THEN s ELSE l3 END,
+         CASE WHEN chosen_api = 5 THEN s ELSE l4 END
+  FROM (
+    SELECT *,
+           CASE WHEN mincost = 99 THEN NULL
+                WHEN c0 = mincost THEN 1 WHEN c1 = mincost THEN 2
+                WHEN c2 = mincost THEN 3 WHEN c3 = mincost THEN 4
+                ELSE 5 END AS chosen_api
+    FROM (
+      SELECT *, least(c0, c1, c2, c3, c4) AS mincost
+      FROM (
+        SELECT r.rn, r.seq, r.a_s, r.p_s, s.cur,
+               s.l0, s.l1, s.l2, s.l3, s.l4,
+               greatest(r.a_s, s.f_last) AS s,
+               CASE WHEN s.l0 = 0 OR greatest(r.a_s, s.f_last) - s.l0 > 60
+                    THEN (0 - s.cur + 5) % 5 ELSE 99 END AS c0,
+               CASE WHEN s.l1 = 0 OR greatest(r.a_s, s.f_last) - s.l1 > 60
+                    THEN (1 - s.cur + 5) % 5 ELSE 99 END AS c1,
+               CASE WHEN s.l2 = 0 OR greatest(r.a_s, s.f_last) - s.l2 > 60
+                    THEN (2 - s.cur + 5) % 5 ELSE 99 END AS c2,
+               CASE WHEN s.l3 = 0 OR greatest(r.a_s, s.f_last) - s.l3 > 60
+                    THEN (3 - s.cur + 5) % 5 ELSE 99 END AS c3,
+               CASE WHEN s.l4 = 0 OR greatest(r.a_s, s.f_last) - s.l4 > 60
+                    THEN (4 - s.cur + 5) % 5 ELSE 99 END AS c4
+        FROM sim s JOIN req r ON r.rn = s.rn + 1
+      )
+    )
+  )
+)
+SELECT seq,
+       CAST(a_s AS DOUBLE) AS arrival_s,
+       CAST(s_s AS DOUBLE) AS start_s,
+       CAST(f_s AS DOUBLE) AS finish_s,
+       api AS used_api_id,
+       CASE WHEN api IS NULL THEN 'failed_api_limit' ELSE 'success' END
+         AS status
+FROM sim WHERE rn > 0
+"""
+
+
+@register(
+    "kernel_api_rotation_oracle",
+    oracle=_KERNEL_API_ORACLE,
+    description="Round-robin API fallback + sliding-window limiter (E5+E6), "
+    "driver-graded: one global FIFO/k=1 run with 5 APIs at rpm_limit=1 on "
+    "a seconds-scale clock, so each successful call closes its API for "
+    "60 s and the rotation from the last successful index advances on "
+    "nearly every call. The limiter has no RNG, so used_api_id is exact; "
+    "the oracle recursive CTE carries (last finish, rotation index, last "
+    "stamp per API) and picks the minimum rotation distance among open "
+    "APIs — reference api_client.py:13-24,26-90 semantics including "
+    "quirk 2 (saturation fails the call but still consumes service time).",
+)
+def q_kernel_api_rotation_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy((F.unix_micros("ts") / 1_000_000).cast("long"), "event_id")
+    df = (
+        ev.select(
+            F.lit("g").alias("run"),
+            F.lit("g").alias("user_id"),
+            F.col("event_id").alias("seq"),
+            (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+            .cast("double")
+            .alias("sim_arrival_time"),
+            F.round(F.col("value")).cast("double").alias("processing_time"),
+            F.row_number().over(w).alias("rn"),
+        )
+        # the run is ONE inherently-sequential global group (a shared
+        # limiter cannot parallelize); bound it to a deterministic
+        # 2500-event prefix so the lockstep recursive oracle stays
+        # O(prefix^2) cheap — the kernel's scale axis is many groups,
+        # not one long one
+        .filter(F.col("rn") <= 2500)
+        .drop("rn")
+    )
+    params = SimParams(
+        num_workers=1, queue_mode="fifo", queue_max_size=None,
+        num_apis=5, rpm_limit=1,
+    )
+    res = simulate(df, params, group_cols=["run"])
+    return res.select(
+        "seq",
+        F.col("sim_arrival_time").alias("arrival_s"),
+        F.col("start_processing_time_by_worker").alias("start_s"),
+        F.col("finish_processing_time_by_worker").alias("finish_s"),
+        "used_api_id",
+        "status",
+    )
