@@ -55,8 +55,12 @@ def fifo_k1_timeline(
         F.col(group_col).alias("group_id"),
         F.col(order_col).alias("seq"),
         F.unix_micros(F.col(ts_col)).alias("arrival_us"),
-        # 2-decimal seconds → exact integer µs via centi-second rounding
-        (F.round(F.col(proc_col) * 100).cast("long") * 10_000).alias("proc_us"),
+        # 2-decimal seconds → exact integer µs via centi-second rounding;
+        # clamped at 0 because the DES clock never runs backward (a negative
+        # duration would otherwise silently diverge kernel vs closed form)
+        F.greatest(
+            F.round(F.col(proc_col) * 100).cast("long") * 10_000, F.lit(0)
+        ).alias("proc_us"),
     )
     w = Window.partitionBy("group_id").orderBy("arrival_us", "seq")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -102,7 +106,7 @@ WITH base AS (
   SELECT CAST({group_col} AS VARCHAR) AS group_id,
          {order_col} AS seq,
          {epoch_us_fn}({ts_col}) AS arrival_us,
-         CAST(round({proc_col} * 100) AS BIGINT) * 10000 AS proc_us
+         greatest(CAST(round({proc_col} * 100) AS BIGINT) * 10000, 0) AS proc_us
   FROM ({source_sql})
 ), win AS (
   SELECT *,

@@ -34,7 +34,10 @@ def _events_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_id"),
         F.col("event_id").alias("seq"),
         F.unix_micros("ts").cast("double").alias("sim_arrival_time"),
-        (F.round(F.col("value") * 100).cast("long") * 10_000)
+        # clamp at 0: the DES clock never runs backward, so a negative
+        # duration in regenerated testdata would silently diverge the kernel
+        # from the recurrence oracles (ADVICE r2) — pin both sides to >= 0
+        F.greatest(F.round(F.col("value") * 100).cast("long") * 10_000, F.lit(0))
         .cast("double")
         .alias("processing_time"),
     )
@@ -86,7 +89,7 @@ WITH RECURSIVE req AS (
   SELECT CAST(user_id AS VARCHAR) AS user_id,
          event_id AS seq,
          epoch_us(ts) AS a_us,
-         CAST(round(value * 100) AS BIGINT) * 10000 AS p_us,
+         greatest(CAST(round(value * 100) AS BIGINT) * 10000, 0) AS p_us,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
   FROM events
@@ -312,8 +315,8 @@ WITH RECURSIVE req AS (
   SELECT CAST(user_id AS VARCHAR) AS user_id,
          event_id AS seq,
          epoch_us(ts) AS a_us,
-         CAST(round(value * 100) AS BIGINT) * 10000 AS p_us,
-         CASE WHEN CAST(round(value * 100) AS BIGINT) * 10000 < 20000000
+         greatest(CAST(round(value * 100) AS BIGINT) * 10000, 0) AS p_us,
+         CASE WHEN greatest(CAST(round(value * 100) AS BIGINT) * 10000, 0) < 20000000
               THEN 0 ELSE 1 END AS cls
   FROM events
 ),
@@ -388,8 +391,16 @@ def q_kernel_priority_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = simulate(df, params, group_cols=["user_id"], shards=64)
     m = 1_000_000
+    # service_order tie-break mirrors the oracle's struct-min serve order:
+    # when processing_time rounds to 0 several serves can share one start
+    # instant, and the kernel (like the oracle) serves the priority class
+    # first, then FIFO within class — so order by (start, class, arrival,
+    # seq), not just (start, seq) (ADVICE r2)
     w = Window.partitionBy("user_id").orderBy(
-        "start_processing_time_by_worker", "seq"
+        "start_processing_time_by_worker",
+        (F.col("processing_time") >= 20_000_000.0).cast("int"),
+        "sim_arrival_time",
+        "seq",
     )
     return res.select(
         "user_id",
@@ -419,7 +430,7 @@ WITH RECURSIVE req AS (
   SELECT CAST(user_id AS VARCHAR) AS user_id,
          event_id AS seq,
          epoch_us(ts) AS a_us,
-         CAST(round(value * 100) AS BIGINT) * 10000 AS p_us,
+         greatest(CAST(round(value * 100) AS BIGINT) * 10000, 0) AS p_us,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
   FROM events
@@ -503,7 +514,7 @@ WITH RECURSIVE req AS (
   SELECT * FROM (
     SELECT event_id AS seq,
            epoch_us(ts) // 1000000 AS a_s,
-           CAST(round(value) AS BIGINT) AS p_s,
+           greatest(CAST(round(value) AS BIGINT), 0) AS p_s,
            row_number() OVER (ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
     FROM events
   ) WHERE rn <= 2500

@@ -21,6 +21,8 @@ consumers); ``maxRecordsPerFile`` bounds file sizes without a shuffle.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -44,14 +46,19 @@ def read_documents_jsonl(
     spark: SparkSession,
     path: str,
     schema: T.StructType = DOCUMENTS_SCHEMA,
-) -> tuple[DataFrame, DataFrame]:
-    """Read a JSONL corpus -> (good rows, corrupt lines).
+) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
+    """Read a JSONL corpus -> (good rows, corrupt lines, release).
 
     Good rows carry exactly ``schema``'s columns; corrupt lines come back
     as one string column ``raw`` for quarantine.  Spark requires the
     corrupt-record column to be cached/materialized separately from the
     data columns (the parser only fills it when a line fails), hence the
     two-frame contract rather than a mixed frame.
+
+    The shared scan is ``cache()``d so one pass serves both frames; call
+    ``release()`` once good/bad are materialized (written, counted) to
+    unpersist it — long-lived sessions doing many reads would otherwise
+    accumulate cached blocks (ADVICE r2).
     """
     with_corrupt = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
@@ -69,7 +76,11 @@ def read_documents_jsonl(
     bad = raw.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("raw")
     )
-    return good, bad
+
+    def release() -> None:
+        raw.unpersist()
+
+    return good, bad, release
 
 
 def write_documents_jsonl(

@@ -264,12 +264,13 @@ class TestJsonlSource:
         docs = load_table(spark, sf_dir, "documents")
         out = str(tmp_path / "corpus_jsonl")
         write_documents_jsonl(docs, out)
-        good, bad = read_documents_jsonl(spark, out)
+        good, bad, release = read_documents_jsonl(spark, out)
         assert bad.count() == 0
         assert good.schema == docs.schema
         assert sorted(map(tuple, good.collect())) == sorted(
             map(tuple, docs.collect())
         )
+        release()
 
     def test_jsonl_corrupt_lines_quarantined(self, spark, tmp_path):
         from queue_system_simulator_spark.sources.jsonl_source import (
@@ -283,10 +284,16 @@ class TestJsonlSource:
             '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
             '{"doc_id": "NOT_A_NUMBER", "text": "bad type"}\n'
         )
-        good, bad = read_documents_jsonl(spark, str(p))
+        good, bad, release = read_documents_jsonl(spark, str(p))
         assert good.count() == 2
         assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
         assert bad.count() == 2
         raws = [r["raw"] for r in bad.collect()]
         assert any("not json" in r for r in raws)
         assert any("NOT_A_NUMBER" in r for r in raws)
+        # release() drops the shared cached scan so long-lived sessions
+        # doing many reads don't accumulate cached blocks
+        release()
+        assert not any(
+            "c.jsonl" in str(r) for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
