@@ -118,3 +118,20 @@ def result_order(df: DataFrame) -> DataFrame:
     fin = F.col("finish_processing_time_by_worker")
     sort_key = F.when(fin == REJECTED_SENTINEL, F.lit(float("inf"))).otherwise(fin)
     return df.orderBy(sort_key, F.col("arrival_time_in_queue"))
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism × factor`` slots.
+
+    Narrow sources (a handful of fat parquet partitions, a broadcast-built
+    frame) underuse the cluster when the next stage fans out (tokenize +
+    explode, pair probes).  A literal ``repartition(32)`` bakes today's
+    local[32] into the plan — on a 2,000-core cluster it would idle 98% of
+    the executors.  Deriving the slot count from the session keeps the same
+    plan shape at every scale; AQE may still coalesce downstream.
+
+    ``factor > 1`` oversubscribes (useful when per-row work is skewed, e.g.
+    pair probes whose cost varies by block size).
+    """
+    slots = max(int(df.sparkSession.sparkContext.defaultParallelism) * factor, 1)
+    return df.repartition(slots)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from queue_system_simulator_spark.plans.registry import register
 from queue_system_simulator_spark.schema import load_table
+from queue_system_simulator_spark.operators.transforms import spread
 
 _WEEK_US = 7 * 86_400 * 1_000_000
 
@@ -452,7 +453,7 @@ WHERE b.n_ab >= 10
 )
 def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.repartition(32).select(F.split("text", " ").alias("toks"))
+    toked = spread(docs).select(F.split("text", " ").alias("toks"))
     bigrams = F.expr(
         "transform(sequence(1, greatest(size(toks) - 1, 0)), "
         "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"

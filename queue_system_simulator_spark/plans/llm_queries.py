@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from queue_system_simulator_spark.plans.registry import register
 from queue_system_simulator_spark.schema import load_table
+from queue_system_simulator_spark.operators.transforms import spread
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
@@ -240,7 +241,7 @@ def _shingles(
         docs = docs.join(F.broadcast(only_docs), "doc_id", "left_semi")
     # documents arrive as few fat parquet partitions; spread the tokenize +
     # explode across the cluster before the fan-out
-    toked = docs.repartition(32).select(
+    toked = spread(docs).select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )
     shingles = F.expr(
@@ -503,7 +504,7 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.repartition(32).select(
+    toked = spread(docs).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     grams = F.expr(
@@ -646,7 +647,7 @@ def _simhash_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     single map-side-combined groupBy — no UDFs, no per-bit fan-out rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.repartition(32).select(
+    tok = spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", F.md5("tok").alias("h"))
     # materialize the 16 nibble values ONCE per token (16 instr lookups),
@@ -1201,7 +1202,7 @@ def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the build side (embeddings dim table is small by design;
     # at 100 TB the build side is the per-cell centroid shortlist, not the
     # full corpus)
-    a = emb.repartition(64).alias("a")
+    a = spread(emb, factor=2).alias("a")
     b = F.broadcast(emb).alias("b")
     sim = F.round(
         _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
@@ -1282,7 +1283,7 @@ LIMIT 50
 )
 def q_bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.repartition(32).select(
+    toks = spread(docs).select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") >= 2)
     pairs = F.expr(
@@ -1335,7 +1336,7 @@ FROM bga b JOIN ta USING (doc_id)
     "shuffle, scales linearly in corpus bytes.",
 )
 def q_doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(32).select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("a")
     )
     bg = docs.select(
@@ -1407,7 +1408,7 @@ GROUP BY ev.doc_id
 def q_contamination_ngram_overlap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(32).select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("a")
     )
     grams = docs.select(
@@ -1892,7 +1893,7 @@ GROUP BY g.doc_id
 )
 def q_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.repartition(32).select(
+    toked = spread(docs).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     pairs = F.expr(
@@ -1995,7 +1996,7 @@ WHERE s.w * {CTX_STRIDE} < n
 )
 def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.repartition(32).select(
+    toked = spread(docs).select(
         "doc_id", F.split("text", " ").alias("toks"), F.size(F.split("text", " ")).alias("n")
     )
     win = F.expr(

@@ -286,3 +286,29 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spread_tracks_session_parallelism(spark, sf_dir):
+    # Scale guard: no literal partition counts in query bodies — fan-out
+    # repartitions must derive their slot count from the session so the
+    # same plan saturates local[32] today and a 2,000-core cluster later.
+    from queue_system_simulator_spark.operators.transforms import spread
+    from queue_system_simulator_spark.schema import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    assert spread(docs).rdd.getNumPartitions() == par
+    assert spread(docs, factor=2).rdd.getNumPartitions() == 2 * par
+
+
+def test_no_literal_repartition_in_query_bodies():
+    import pathlib
+    import re
+
+    plans = pathlib.Path("queue_system_simulator_spark/plans")
+    offenders = []
+    for f in plans.glob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if re.search(r"\.repartition\(\s*\d", line):
+                offenders.append(f"{f.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
