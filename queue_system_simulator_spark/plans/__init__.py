@@ -18,13 +18,18 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 )
 
 #: The driver grades exactly the FIRST 50 entries of ``queries()`` in
-#: registration order, so ordering is part of the contract.  This list puts a
-#: graded representative of every SURVEY §2 block (A1–G6, incl. the E1–E4
-#: kernel bridge) and every LLM-pipeline family (dedup, minhash/simhash LSH,
-#: embeddings ANN, multimodal, streaming) inside that window; everything else
-#: follows in original registration order.
+#: registration order, so ordering is part of the contract.  Round-3
+#: rotation: keep the 20 SURVEY-§2 parity anchors (reference operator
+#: surface + the five hash-graded kernel oracles + the newly-gradeable
+#: generator), and spend the other 30 slots on queries never yet graded by
+#: the driver — all 8 remaining streaming queries, the iterative/graph/
+#: clustering flagships, the remaining multimodal paths, and the 12 most
+#: pattern-distinct ungraded TPC-H adaptations.  Everything rotated OUT
+#: was driver-green in round 1 or 2 (CORRECTNESS_r01/r02) and stays
+#: registered + locally gated (tools/check_oracle.py); cumulative
+#: driver-graded coverage after this window: ~94/140.
 DRIVER_WINDOW = [
-    # SURVEY §2 A–D, G: reference operator surface over the request log
+    # --- §2 anchors: reference operator surface (A–D, G) ---
     "ingest_requests",
     "sim_arrival_time",
     "negative_arrival_check",
@@ -33,74 +38,55 @@ DRIVER_WINDOW = [
     "input_count",
     "fifo_timeline",
     "fifo_stats",
-    "fifo_stats_by_user",
     "sim_result_stats",
     "api_usage_zero_fill",
     "enqueue_totals",
     "result_order",
     "rate_limit_sliding",
     "queue_depth_timeseries",
-    "json_props_extract",
-    # SURVEY §2 E: DES kernel bridges (closed-form-oracled)
+    # A6+D3, newly hash-gradeable (md5-derived uniforms, r3)
+    "generate_requests",
+    # --- §2 anchors: the five hash-graded E-block kernel oracles ---
     "kernel_fifo_k1",
     "kernel_fifo_bounded_oracle",
-    # LLM pipeline: text dedup / quality / tokenization families
-    "dedup_exact",
-    "text_stats",
-    "token_count_regex",
-    "lang_id",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "ngram_jaccard_pairs",
-    # minhash_signatures / simhash_signatures are exercised inside the
-    # *_pairs queries below; their graded slots go to the round-2
-    # candidate-then-verify and PII-scrubbing flagships
-    "minhash_verified_pairs",
-    "minhash_lsh_pairs",
-    "pii_redact",
-    "simhash_near_dup_pairs",
-    "doc_winnow_fingerprints",
-    "dedup_clusters",
-    "bpe_pair_frequencies",
-    "dataset_split",
-    # LLM pipeline: embedding similarity search (brute force + IVF + LSH)
-    # (centroid build is graded inside embed_ivf_probe_topk and
-    # kmeans_assign; the freed slot grades the Lloyd-iteration flagship)
-    "embed_cosine_topk",
-    "kmeans_assign",
-    "embed_ivf_probe_topk",
-    "embed_lsh_bucket_topk",
-    "embed_near_dup_pairs",
-    # LLM pipeline: training-data curation
-    "doc_repetition_score",
-    "contamination_ngram_overlap",
-    "seq_pack_chunks",
-    # LLM pipeline: multimodal column plumbing
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # §2 E2: strict-priority kernel, the probabilistic dequeue pinned
-    # deterministic (bias=1.0) so the two-class routing is hash-graded
-    # rather than rows-only (its slot displaces the OUTER interval join,
-    # which stays registered + locally gated — inner interval join and
-    # the stateful kernel still represent stream-stream state here)
     "kernel_priority_oracle",
-    # §2 E3: k=2 workers against the two-slot busy recurrence (its slot
-    # displaces the session-window query — the windowed-agg streaming
-    # family stays represented by tumbling_counts; session_counts remains
-    # registered + locally gated)
     "kernel_fifo_k2_oracle",
-    # §2 E5+E6: the deterministic limiter + round-robin fallback run
-    # (its slot displaces the inner interval join; stream-stream state
-    # stays represented by streaming_fifo_state, windowed aggs by
-    # tumbling_counts — both interval joins remain registered + gated)
     "kernel_api_rotation_oracle",
-    # Structured Streaming family (sliding windows are the tumbling path
-    # with a slide param)
-    "streaming_tumbling_counts",
-    "streaming_fifo_state",
-    # custom operators Spark lacks natively
-    "asof_join_purchase",
-    "range_join_error_context",
+    # --- never-driver-graded: Structured Streaming, complete family ---
+    "streaming_sliding_api_load",
+    "streaming_session_counts",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_dedup_counts",
+    "streaming_dedup_within_watermark",
+    "streaming_enrich_segment_counts",
+    "streaming_rate_limit",
+    # --- never-driver-graded: iterative / graph / clustering flagships ---
+    "pagerank_near_dup",
+    "cluster_aware_split",
+    "kmeans_medoid_keep",
+    "user_activity_similarity",
+    # --- never-driver-graded: remaining multimodal paths ---
+    "multimodal_features_arrow",
+    "multimodal_resize_stats",
+    "multimodal_audio_windows",
+    # --- never-driver-graded: corpus-statistics flagships ---
+    "tfidf_top_terms",
+    "embed_knn_graph",
+    "bigram_lm_doc_score",
+    # --- never-driver-graded: pattern-distinct TPC-H adaptations ---
+    "tpch_q4_late_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_flag",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

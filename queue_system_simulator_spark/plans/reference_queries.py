@@ -18,7 +18,11 @@ from queue_system_simulator_spark.operators.fifo import (
     fifo_k1_timeline_sql,
 )
 from queue_system_simulator_spark.plans.registry import register
-from queue_system_simulator_spark.schema import events_as_requests, load_table
+from queue_system_simulator_spark.schema import (
+    REFERENCE_EPOCH,
+    events_as_requests,
+    load_table,
+)
 
 #: 2024-01-01T00:00:00Z — natural epoch for the events table (min ts ≈ +7 s).
 EVENTS_EPOCH_US = 1_704_067_200_000_000
@@ -235,22 +239,40 @@ def q_fifo_stats_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fifo_stats(q_fifo_timeline(spark, sf_dir), group=True)
 
 
+from queue_system_simulator_spark.sources.generator import (  # noqa: E402
+    ISO_Z_SPARK,
+    generate_sample_requests,
+    generate_sample_requests_oracle_sql,
+)
+
+
 @register(
     "generate_requests",
-    oracle=None,  # rand(seed) streams differ across engines by design;
-    # determinism within Spark is covered by tests/test_sources.py
-    description="A6 synthetic request-log generator as a query surface: "
-    "spark.range + rand(seed) + per-user running-sum window for cumulative "
-    "arrivals — fully distributed, no driver loop; the only shuffle is the "
-    "per-user window partition (reference "
-    "/root/reference/scripts/generate_sample_data.py:10-39).",
+    oracle=generate_sample_requests_oracle_sql(
+        num_users=50, max_requests_per_user=20
+    ),
+    description="A6 synthetic request-log generator as a query surface, "
+    "hash-graded: spark.range + md5-derived integer uniforms (engine-"
+    "portable, reproducible under task retry — unlike rand(seed), whose "
+    "stream is engine-internal) + per-user integer-ms running-sum window "
+    "for cumulative U(0.1,1.0)s arrivals from the fixed epoch; processing "
+    "round(U(1.0,10.0),1); ISO-8601-Z rendering (reference "
+    "/root/reference/scripts/generate_sample_data.py:10-39). The only "
+    "shuffle is the per-user window partition; closes A6+D3 with a "
+    "DuckDB oracle.",
 )
 def q_generate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from queue_system_simulator_spark.sources.generator import (
-        generate_sample_requests,
+    gen = generate_sample_requests(spark, num_users=50, max_requests_per_user=20)
+    epoch_ms = F.lit(REFERENCE_EPOCH).cast("timestamp")
+    return gen.select(
+        "seq",
+        "user_id",
+        (F.unix_millis("request_time") - F.unix_millis(epoch_ms)).alias(
+            "offset_ms"
+        ),
+        F.date_format("request_time", ISO_Z_SPARK).alias("request_time_iso"),
+        "processing_time",
     )
-
-    return generate_sample_requests(spark, num_users=50, max_requests_per_user=20)
 
 
 @register(
