@@ -1749,20 +1749,25 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
     "survive with jaccard 0 so sketch precision is itself observable.",
 )
 def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # wide is consumed twice by the band self-join — cache it or the full
-    # shingle+minhash corpus pass runs twice (measured 2.5x slower cold)
-    wide = _minhash_wide(spark, sf_dir).cache()
+    # ONE tokenize pass serves both stages: the cached shingle frame feeds
+    # the signature build, and the verify stage filters the same frame down
+    # to candidate docs instead of re-tokenizing them (r2 bench showed the
+    # second tokenize dominating this query's 7.3 s)
+    sh = _shingles(spark, sf_dir).cache()
+    # wide is consumed twice by the band self-join — cache it or the
+    # minhash aggregation over the shingles runs twice
+    wide = _minhash_wide(spark, sf_dir, sh=sh).cache()
     cand = _lsh_candidates(wide).cache()
-    # verify-stage pruning: one full corpus pass builds the signatures;
-    # only CANDIDATE docs are then re-shingled, so everything downstream —
-    # shingle distinct, sizes, intersection joins — scales with the
-    # candidate set (a vanishing fraction of the corpus), not the corpus
+    # verify-stage pruning: everything downstream — shingle distinct,
+    # sizes, intersection joins — touches only CANDIDATE docs' shingles,
+    # so it scales with the candidate set (a vanishing fraction of the
+    # corpus), not the corpus
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = _shingles(spark, sf_dir, only_docs=cand_docs).cache()
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").cache()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
