@@ -46,6 +46,10 @@ DRIVER_WINDOW = [
     "queue_depth_timeseries",
     # A6+D3, newly hash-gradeable (md5-derived uniforms, r3)
     "generate_requests",
+    # A7+A5, newly hash-gradeable (r3): render stage as a (line_no, line)
+    # frame; parquet-datalake sink round-trip vs the original table
+    "console_report",
+    "datalake_roundtrip",
     # --- §2 anchors: the five hash-graded E-block kernel oracles ---
     "kernel_fifo_k1",
     "kernel_fifo_bounded_oracle",
@@ -75,8 +79,7 @@ DRIVER_WINDOW = [
     "embed_knn_graph",
     "bigram_lm_doc_score",
     # --- never-driver-graded: pattern-distinct TPC-H adaptations ---
-    "tpch_q4_late_priority",
-    "tpch_q5_local_supplier_volume",
+    # (q4/q5/q22 wait for the round-4 rotation; 50 slots is 50)
     "tpch_q7_trade_volume",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -660,3 +660,237 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A7: the console report as a GRADED query.  The reference's render stage
+# (main.py:117-159) formats the stats dict to text lines: NaN -> "N/A",
+# floats trimmed, api counts key-sorted.  pipeline.render_report does this
+# driver-side for the CLI twin; this query builds the SAME lines as a
+# DataFrame so the formatting semantics themselves are hash-graded.
+# Formatting is cross-engine-safe: every float is round(...,6) first (so
+# printf('%.6f') has no residual rounding decision), trailing zeros then
+# the dangling '.' are trimmed on both sides.
+# --------------------------------------------------------------------------
+_REPORT_STATS_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_input,
+       CAST(sum(CASE WHEN arrival_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(sum(CASE WHEN finish_us != -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS processed,
+       CAST(sum(CASE WHEN finish_us = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rejected,
+       round(CAST(sum(CASE WHEN finish_us != -1 AND start_us >= 0
+                            AND arrival_us >= 0 AND start_us >= arrival_us
+                           THEN start_us - arrival_us END) AS DOUBLE)
+             / sum(CASE WHEN finish_us != -1 AND start_us >= 0
+                         AND arrival_us >= 0 AND start_us >= arrival_us
+                        THEN 1 ELSE 0 END) / 1000000, 6) AS avg_q,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END,
+                           0.5), 6) AS p50,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END,
+                           0.75), 6) AS p75,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END,
+                           0.9), 6) AS p90,
+       round(quantile_cont(CASE WHEN finish_us != -1 AND start_us >= 0
+                                 AND arrival_us >= 0 AND start_us >= arrival_us
+                                THEN (start_us - arrival_us) / 1000000 END,
+                           0.99), 6) AS p99,
+       CAST(sum(CASE WHEN finish_us != -1
+                      AND COALESCE(proc_us < 20000000, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS prio_enq,
+       CAST(sum(CASE WHEN finish_us != -1
+                      AND NOT COALESCE(proc_us < 20000000, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS norm_enq
+FROM ({_SIM_RESULTS_SQL})
+"""
+
+#: DuckDB float rendering: N/A on null/NaN, else trimmed %.6f
+def _duck_fmt(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NULL OR isnan({col}) THEN 'N/A' "
+        f"ELSE rtrim(rtrim(printf('%.6f', {col}), '0'), '.') END"
+    )
+
+
+_CONSOLE_REPORT_ORACLE = f"""
+WITH s AS ({_REPORT_STATS_SQL}),
+api AS (
+  SELECT d.api_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS usage_count
+  FROM (SELECT CAST(unnest(generate_series(1, 5)) AS INTEGER) AS api_id) d
+  LEFT JOIN (
+    SELECT used_api_id AS api_id, count(*) AS cnt
+    FROM ({_SIM_RESULTS_SQL})
+    WHERE finish_us != -1 AND used_api_id IS NOT NULL
+      AND used_api_id BETWEEN 1 AND 5
+    GROUP BY used_api_id
+  ) c USING (api_id)
+)
+SELECT CAST(line_no AS BIGINT) AS line_no, line FROM (
+  SELECT 1 AS line_no, 'total requests: ' || n_input AS line FROM s
+  UNION ALL SELECT 2, 'requests with pre-epoch timestamps: ' || n_negative FROM s
+  UNION ALL SELECT 3, 'processed: ' || processed FROM s
+  UNION ALL SELECT 4, 'rejected: ' || rejected FROM s
+  UNION ALL SELECT 5, 'average queuing time: ' || {_duck_fmt("avg_q")} FROM s
+  UNION ALL SELECT 6, 'queuing time p50: ' || {_duck_fmt("p50")} FROM s
+  UNION ALL SELECT 7, 'queuing time p75: ' || {_duck_fmt("p75")} FROM s
+  UNION ALL SELECT 8, 'queuing time p90: ' || {_duck_fmt("p90")} FROM s
+  UNION ALL SELECT 9, 'queuing time p99: ' || {_duck_fmt("p99")} FROM s
+  UNION ALL SELECT 10, 'priority queue enqueued: ' || prio_enq FROM s
+  UNION ALL SELECT 11, 'normal queue enqueued: ' || norm_enq FROM s
+  UNION ALL SELECT 11 + api_id, 'api_' || api_id || ': ' || usage_count FROM api
+)
+"""
+
+
+@register(
+    "console_report",
+    oracle=_CONSOLE_REPORT_ORACLE,
+    description="A7 console/log sink as a graded query: the reference "
+    "render stage (NaN->'N/A', trimmed float formatting, api counts "
+    "key-sorted; /root/reference/main.py:117-159) built as a "
+    "(line_no, line) DataFrame over the synthetic sim-results stats, so "
+    "the formatting semantics are hash-checked cross-engine rather than "
+    "only pytest-asserted (pipeline.render_report is the driver-side "
+    "CLI twin).",
+)
+def q_console_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _synthetic_sim_results(spark, sf_dir)
+    fin, start, arr = F.col("finish_us"), F.col("start_us"), F.col("arrival_us")
+    is_proc = fin != -1
+    valid = is_proc & (start >= 0) & (arr >= 0) & (start >= arr)
+    qt_us = F.when(valid, start - arr)
+    prio = F.coalesce(F.col("proc_us") < 20_000_000, F.lit(False))
+    stats = base.withColumn("qt_s", qt_us / 1_000_000).agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(arr < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+        F.sum(F.when(is_proc, 1).otherwise(0)).cast("long").alias("processed"),
+        F.sum(F.when(~is_proc, 1).otherwise(0)).cast("long").alias("rejected"),
+        F.round(
+            F.sum(qt_us).cast("double")
+            / F.sum(F.when(valid, 1).otherwise(0))
+            / 1_000_000,
+            6,
+        ).alias("avg_q"),
+        F.expr(
+            "percentile(qt_s, array(0.5D, 0.75D, 0.9D, 0.99D))"
+        ).alias("pcts"),
+        F.sum(F.when(is_proc & prio, 1).otherwise(0))
+        .cast("long")
+        .alias("prio_enq"),
+        F.sum(F.when(is_proc & ~prio, 1).otherwise(0))
+        .cast("long")
+        .alias("norm_enq"),
+    )
+    p = F.col("pcts")
+    stats = stats.select(
+        "n_input",
+        "n_negative",
+        "processed",
+        "rejected",
+        "avg_q",
+        F.round(p[0], 6).alias("p50"),
+        F.round(p[1], 6).alias("p75"),
+        F.round(p[2], 6).alias("p90"),
+        F.round(p[3], 6).alias("p99"),
+        "prio_enq",
+        "norm_enq",
+    )
+
+    def fnum(name: str):
+        c = F.col(name)
+        trimmed = F.expr(
+            f"trim(TRAILING '.' FROM trim(TRAILING '0' FROM "
+            f"format_string('%.6f', {name})))"
+        )
+        return F.when(c.isNull() | F.isnan(c), F.lit("N/A")).otherwise(trimmed)
+
+    def line(no: int, *parts):
+        return F.struct(
+            F.lit(no).cast("long").alias("line_no"),
+            F.concat(*parts).alias("line"),
+        )
+
+    scalar_lines = stats.select(
+        F.explode(
+            F.array(
+                line(1, F.lit("total requests: "), F.col("n_input").cast("string")),
+                line(
+                    2,
+                    F.lit("requests with pre-epoch timestamps: "),
+                    F.col("n_negative").cast("string"),
+                ),
+                line(3, F.lit("processed: "), F.col("processed").cast("string")),
+                line(4, F.lit("rejected: "), F.col("rejected").cast("string")),
+                line(5, F.lit("average queuing time: "), fnum("avg_q")),
+                line(6, F.lit("queuing time p50: "), fnum("p50")),
+                line(7, F.lit("queuing time p75: "), fnum("p75")),
+                line(8, F.lit("queuing time p90: "), fnum("p90")),
+                line(9, F.lit("queuing time p99: "), fnum("p99")),
+                line(
+                    10,
+                    F.lit("priority queue enqueued: "),
+                    F.col("prio_enq").cast("string"),
+                ),
+                line(
+                    11,
+                    F.lit("normal queue enqueued: "),
+                    F.col("norm_enq").cast("string"),
+                ),
+            )
+        ).alias("l")
+    ).select("l.line_no", "l.line")
+    api_lines = q_api_usage_zero_fill(spark, sf_dir).select(
+        (F.lit(11) + F.col("api_id")).cast("long").alias("line_no"),
+        F.concat(
+            F.col("api_key"), F.lit(": "), F.col("usage_count").cast("string")
+        ).alias("line"),
+    )
+    return scalar_lines.unionAll(api_lines)
+
+
+@register(
+    "datalake_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi
+FROM events
+GROUP BY event_type
+""",
+    description="A5 Parquet sink as a graded query: events written through "
+    "write_datalake (hive-partitioned by event_type, sorted within "
+    "partitions by ts, maxRecordsPerFile bounded) to a fresh temp dir, "
+    "read back through the partition-discovering reader, and aggregated — "
+    "the oracle computes the same aggregate from the ORIGINAL table, so "
+    "any row lost/duplicated/corrupted by the sink round-trip breaks the "
+    "hash. Integer centi-value sums keep it exact.",
+)
+def q_datalake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from queue_system_simulator_spark.sources.sink import write_datalake
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="qss_datalake_rt_")
+    write_datalake(
+        ev, out, partition_by=["event_type"], sort_within=["ts"],
+        max_records_per_file=250_000,
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_centi"),
+    )
