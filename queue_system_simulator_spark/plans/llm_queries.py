@@ -846,10 +846,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches are unpersisted immediately, so peak storage is two edge frames.
     """
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # canonical direction big → small: (a, b) with a > b
+    # canonical direction big → small: (a, b) with a > b.  localCheckpoint
+    # (not cache): caching keeps the full logical plan, so every round's
+    # plan embeds all previous rounds and Catalyst re-analysis goes
+    # superlinear with round count (the pagerank lesson) — checkpointing
+    # truncates lineage to the materialized edge set.
     edges = pairs.select(
         F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
-    ).cache()
+    ).localCheckpoint(eager=True)
 
     def _large_star(e: DataFrame) -> DataFrame:
         # symmetric neighborhoods; for each u emit (v, min(N(u) ∪ {u}))
@@ -880,12 +884,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     signature = None
     for _ in range(15):  # O(log² n) bound; fixpoint probe exits early
-        new_edges = _small_star(_large_star(edges)).cache()
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         sig = new_edges.agg(
             F.count(F.lit(1)), F.sum("a"), F.sum("b")
         ).first()
-        edges.unpersist()
-        edges = new_edges
+        edges = new_edges  # superseded checkpoint blocks are GC-reclaimed
         if tuple(sig) == signature:
             break
         signature = tuple(sig)
