@@ -17,8 +17,9 @@ Scale notes: the one-row scalar stats are a single full aggregate — Spark
 computes partial aggregates map-side and merges; the exact percentile is the
 only operator that must see all values of a group on one task.  Per-group
 (run_id/user) percentiles shard naturally; a single global exact percentile
-over 100 TB is the documented escape hatch to ``approx_percentile`` (never in
-oracle-checked queries).  The API-domain zero-fill joins against a tiny
+has two scale paths: :func:`exact_percentiles_distributed` (range-partitioned
+rank selection — exact, no single-reducer funnel) and ``approx_percentile``
+(mergeable sketch, never in oracle-checked queries).  The API-domain zero-fill joins against a tiny
 in-memory dimension — always broadcast.
 """
 
@@ -175,4 +176,101 @@ __all__ = [
     "simulation_statistics",
     "with_queuing_time",
     "valid_queuing_rows",
+    "exact_percentiles_distributed",
 ]
+
+
+def exact_percentiles_distributed(
+    df: DataFrame,
+    value_col: str,
+    ps: tuple[float, ...] = PERCENTILES,
+    divisor: float = 1.0,
+) -> list[float]:
+    """Exact linear-interpolation percentiles WITHOUT a single-reducer funnel.
+
+    Spark's exact ``percentile`` aggregate must see every value of the group
+    on one task — the documented 100 TB weak point of a global percentile
+    (SURVEY §7 "what's hard" #3).  This computes the same numbers as a
+    distributed *rank selection*:
+
+    1. range-partition the values (``repartitionByRange`` — Spark's
+       distributed sort machinery: sampled bounds, ordered buckets);
+    2. one tiny per-bucket count aggregate → cumulative offsets
+       (#buckets rows to the driver — O(parallelism), not O(rows));
+    3. each needed order statistic (floor/ceil of ``p·(n−1)`` per p —
+       ≤ 2·len(ps) ranks) is located in its bucket and read with a
+       *bucket-local* sort + row_number — every bucket sorts in parallel,
+       nothing global.
+
+    Interpolation ``lo + (hi − lo)·frac`` on ``value/divisor`` doubles matches
+    numpy/Spark ``percentile``/DuckDB ``quantile_cont`` bit-for-bit when the
+    scaled values are exact (integer µs × 1e-6 — same expression both
+    engines; a ×1e-6 multiply would NOT be bit-identical to /1e6).
+    Driver-side work is O(parallelism + len(ps)) rows — the
+    adaptive-plan pattern, never per-row.
+
+    Returns the percentile values (floats; NaN per entry on empty input).
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).alias("v"))
+    slots = max(int(spark.sparkContext.defaultParallelism), 1)
+    parts = vals.repartitionByRange(slots, "v").cache()
+    try:
+        bucket_counts = {
+            r["pid"]: r["cnt"]
+            for r in parts.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        n = sum(bucket_counts.values())
+        if n == 0:
+            return [float("nan")] * len(ps)
+        # global rank -> (bucket, local rank)
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(bucket_counts):
+            offsets[pid] = acc
+            acc += bucket_counts[pid]
+        targets: dict[int, list[tuple[int, int]]] = {}  # pid -> [(local, rank)]
+        needed: set[int] = set()
+        for p in ps:
+            pos = p * (n - 1)
+            lo = int(pos)
+            hi = lo if pos == lo else lo + 1
+            needed.update((lo + 1, hi + 1))  # 1-based ranks
+        for rank in sorted(needed):
+            for pid in sorted(bucket_counts):
+                if rank <= offsets[pid] + bucket_counts[pid]:
+                    targets.setdefault(pid, []).append((rank - offsets[pid], rank))
+                    break
+        # bucket-local selection: Window partitioned by bucket id — every
+        # bucket ranks independently in parallel
+        from pyspark.sql import Window
+
+        tgt = spark.createDataFrame(
+            [(pid, loc, rank) for pid, pairs in targets.items()
+             for loc, rank in pairs],
+            "pid int, loc long, rank long",
+        )
+        w = Window.partitionBy("pid").orderBy("v")
+        ranked = parts.select(
+            F.spark_partition_id().alias("pid"), "v"
+        ).withColumn("loc", F.row_number().over(w))
+        by_rank = {
+            r["rank"]: r["v"]
+            for r in ranked.join(F.broadcast(tgt), ["pid", "loc"])
+            .select("rank", "v")
+            .collect()
+        }
+    finally:
+        parts.unpersist()
+    out: list[float] = []
+    for p in ps:
+        pos = p * (n - 1)
+        lo = int(pos)
+        hi = lo if pos == lo else lo + 1
+        frac = pos - lo
+        vlo = by_rank[lo + 1] / divisor
+        vhi = by_rank[hi + 1] / divisor
+        out.append(vlo + (vhi - vlo) * frac)
+    return out

@@ -220,11 +220,47 @@ FROM ({tl})
     "(reference /root/reference/src/statistics.py:46-121). 100 TB note: the "
     "ungrouped exact percentile funnels every value through one reducer by "
     "construction — keep this form for oracle-checked reporting only; at "
-    "scale use fifo_stats_by_user (per-group exact, shards across the "
-    "cluster) or fifo_stats_approx (mergeable sketch, no value shuffle).",
+    "scale use fifo_stats_distributed (same exact numbers via distributed "
+    "rank selection), fifo_stats_by_user (per-group exact) or "
+    "fifo_stats_approx (mergeable sketch).",
 )
 def q_fifo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fifo_stats(q_fifo_timeline(spark, sf_dir), group=False)
+
+
+@register(
+    "fifo_stats_distributed",
+    oracle=_FIFO_STATS_SQL_BODY.format(group_cols="", tl=_FIFO_TL_SQL, group_by=""),
+    description="fifo_stats without the single-reducer funnel: the same "
+    "exact global percentiles computed by distributed rank selection — "
+    "range-partition the values (Spark's distributed sort), per-bucket "
+    "counts -> cumulative offsets (O(parallelism) driver rows), then each "
+    "needed order statistic read with a bucket-LOCAL sort; interpolation "
+    "lo+(hi-lo)*frac on value/1e6 doubles is bit-equal to percentile()/"
+    "quantile_cont. Same oracle as fifo_stats; this is the form that "
+    "survives a 100 TB global percentile.",
+)
+def q_fifo_stats_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.operators.statistics import (
+        exact_percentiles_distributed,
+    )
+
+    tl = q_fifo_timeline(spark, sf_dir).select("queuing_us").cache()
+    pcts = exact_percentiles_distributed(
+        tl, "queuing_us", ps=(0.5, 0.75, 0.9, 0.99), divisor=1_000_000.0
+    )
+    agg = tl.agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.round(
+            F.sum("queuing_us").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("avg_queuing_time"),
+    )
+    names = ("p50", "p75", "p90", "p99")
+    return agg.select(
+        "processed",
+        "avg_queuing_time",
+        *[F.round(F.lit(v), 6).alias(nm) for nm, v in zip(names, pcts)],
+    )
 
 
 @register(

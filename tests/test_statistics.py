@@ -153,3 +153,43 @@ def test_approx_percentiles_within_bounded_error(spark, sf_dir):
         a = approx[f"p{p}_approx"]
         scale = max(abs(e), 1.0)
         assert abs(a - e) / scale < 0.05, (p, e, a)
+
+
+class TestExactPercentilesDistributed:
+    def test_matches_single_reducer_percentile(self, spark, sf_dir):
+        from queue_system_simulator_spark.plans import QUERIES
+
+        a = QUERIES["fifo_stats"].build(spark, sf_dir).collect()
+        b = QUERIES["fifo_stats_distributed"].build(spark, sf_dir).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_rank_selection_edge_cases(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from queue_system_simulator_spark.operators.statistics import (
+            exact_percentiles_distributed,
+        )
+
+        # empty input -> NaN per requested percentile
+        empty = spark.range(0).select(F.col("id").alias("v"))
+        assert all(
+            math.isnan(x)
+            for x in exact_percentiles_distributed(empty, "v", ps=(0.5, 0.9))
+        )
+        # single row: every percentile is that value
+        one = spark.range(7, 8).select(F.col("id").alias("v"))
+        assert exact_percentiles_distributed(one, "v", ps=(0.0, 0.5, 1.0)) == [
+            7.0,
+            7.0,
+            7.0,
+        ]
+        # fewer rows than partitions + exact numpy golden values: the
+        # reference test set [0.0, 0.9, 0.0, 1.7] (tests/test_statistics.py
+        # golden numbers p50=0.45, p75=1.1, p90=1.46, p99=1.676)
+        vals = spark.createDataFrame([(0,), (900_000,), (0,), (1_700_000,)], "v long")
+        got = exact_percentiles_distributed(
+            vals, "v", ps=(0.5, 0.75, 0.9, 0.99), divisor=1_000_000.0
+        )
+        assert [round(x, 6) for x in got] == [0.45, 1.1, 1.46, 1.676]
