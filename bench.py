@@ -93,6 +93,7 @@ HEADLINE = [
     "kernel_fifo_k2_oracle",
     "tpch_q9_product_profit",
     # round-3 additions: newly driver-graded representatives
+    "fifo_stats_distributed",
     "generate_requests",
     "streaming_interval_join",
     "multimodal_audio_windows",
