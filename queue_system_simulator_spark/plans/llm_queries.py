@@ -2427,3 +2427,58 @@ def q_kmeans_medoid_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+@register(
+    "dup_span_fraction",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i+7], ' ')) AS whash
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i)
+),
+per AS (SELECT doc_id, whash, count(*) AS k FROM w GROUP BY doc_id, whash),
+tot AS (SELECT whash, sum(k) AS total FROM per GROUP BY whash)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN total > 1 THEN k ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(CAST(sum(CASE WHEN total > 1 THEN k ELSE 0 END) AS DOUBLE)
+             / sum(k), 6) AS dup_fraction
+FROM per JOIN tot USING (whash)
+GROUP BY doc_id
+""",
+    description="Span-level exact-duplicate detection (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better'): per doc, "
+    "the fraction of 8-token sliding windows whose hash occurs more than "
+    "once corpus-wide (cross-doc boilerplate AND within-doc repetition "
+    "both count) — the remaining dedup modality next to doc-level "
+    "MinHash/SimHash and fingerprinting. Plan: windows hashed JVM-side "
+    "inside one higher-order transform (32-byte hashes cross the shuffle, "
+    "never text), per-(doc,hash) pre-aggregation before the global "
+    "posting count, one keyed join back — everything shuffles on the "
+    "window hash, linear in corpus token count, no all-pairs anywhere.",
+)
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    wins = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 7, 0)), "
+        "i -> md5(concat_ws(' ', slice(toks, i, 8))))"
+    )
+    w = toked.select("doc_id", F.explode(wins).alias("whash"))
+    per = w.groupBy("doc_id", "whash").agg(F.count(F.lit(1)).alias("k"))
+    tot = per.groupBy("whash").agg(F.sum("k").alias("total"))
+    dup_k = F.when(F.col("total") > 1, F.col("k")).otherwise(0)
+    return (
+        per.join(tot, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_windows"),
+            F.sum(dup_k).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.sum(dup_k).cast("double") / F.sum("k"), 6
+            ).alias("dup_fraction"),
+        )
+    )
