@@ -2482,3 +2482,115 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+#: Product quantization: 4 subspaces × 16 dims over the 64-d embeddings.
+_PQ_M, _PQ_SUB = 4, 16
+
+@register(
+    "pq_codebook_assign",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dmean AS (
+  SELECT label, s.dim AS dim,
+         round(CAST(sum(e.v[CAST(s.dim AS INT)]) AS DOUBLE) / count(*), 6) AS c
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS dim) s
+  GROUP BY label, s.dim
+),
+cb AS (
+  SELECT label, CAST((dim - 1) // {_PQ_SUB} AS INT) AS m,
+         list(c ORDER BY dim) AS c
+  FROM dmean GROUP BY label, CAST((dim - 1) // {_PQ_SUB} AS INT)
+),
+sub AS (
+  SELECT e.vec_id, mm.m AS m,
+         e.v[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}] AS vs
+  FROM e, LATERAL (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm
+),
+d AS (
+  SELECT sub.vec_id, sub.m, cb.label,
+         round(list_aggregate(list_transform(
+               generate_series(1, {_PQ_SUB}),
+               i -> (sub.vs[CAST(i AS INT)] - cb.c[CAST(i AS INT)])
+                  * (sub.vs[CAST(i AS INT)] - cb.c[CAST(i AS INT)])), 'sum'),
+               6) AS l2
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+best AS (
+  SELECT vec_id, m, label, l2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY l2, label) AS rn FROM d)
+  WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN label END) AS INTEGER) AS code_0,
+       CAST(max(CASE WHEN m = 1 THEN label END) AS INTEGER) AS code_1,
+       CAST(max(CASE WHEN m = 2 THEN label END) AS INTEGER) AS code_2,
+       CAST(max(CASE WHEN m = 3 THEN label END) AS INTEGER) AS code_3,
+       round(sum(l2), 6) AS quant_err
+FROM best GROUP BY vec_id
+""",
+    description="Product-quantization code assignment (the ANN compression "
+    "path: 64-d float vector -> 4 sub-codes + reconstruction error): "
+    "per-subspace codebooks are the per-label sub-centroids (deterministic, "
+    "like embed_ivf_centroids), each vector's 4 subvectors are assigned to "
+    "their nearest sub-centroid by rounded L2 with label tie-break. Plan: "
+    "codebook is a tiny broadcast frame, assignment is a bounded fan-out "
+    "(M x n_labels rows per vector) map-side join + struct-min argmin — "
+    "no shuffle of raw vectors beyond one groupBy keyed (vec, subspace).",
+)
+def q_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    # per-(label, dim) means -> per-(label, subspace) centroid arrays
+    dims = e.select(
+        "label", F.posexplode("v").alias("dim0", "x")
+    )
+    dmean = dims.groupBy("label", "dim0").agg(F.round(F.avg("x"), 6).alias("c"))
+    cb = (
+        dmean.withColumn("m", (F.col("dim0") / _PQ_SUB).cast("int"))
+        .groupBy("label", "m")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim0", "c"))),
+                lambda s: s["c"],
+            ).alias("c")
+        )
+    )
+    # bounded fan-out: M subvectors per vector x n_labels codebook rows
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("vs"),
+                )
+                for m in range(_PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.vs")
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with("vs", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "label", l2.alias("l2")
+    )
+    best = (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("l2", "label")).alias("b"))
+        .select("vec_id", "m", F.col("b.label").alias("label"), F.col("b.l2").alias("l2"))
+    )
+    code = lambda m: F.max(F.when(F.col("m") == m, F.col("label"))).cast("int")
+    return best.groupBy("vec_id").agg(
+        code(0).alias("code_0"),
+        code(1).alias("code_1"),
+        code(2).alias("code_2"),
+        code(3).alias("code_3"),
+        F.round(F.sum("l2"), 6).alias("quant_err"),
+    )
