@@ -2594,3 +2594,110 @@ def q_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         code(3).alias("code_3"),
         F.round(F.sum("l2"), 6).alias("quant_err"),
     )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dmean AS (
+  SELECT label, s.dim AS dim,
+         round(CAST(sum(e.v[CAST(s.dim AS INT)]) AS DOUBLE) / count(*), 6) AS c
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS dim) s
+  GROUP BY label, s.dim
+),
+cb AS (
+  SELECT label, CAST((dim - 1) // {_PQ_SUB} AS INT) AS m,
+         list(c ORDER BY dim) AS c
+  FROM dmean GROUP BY label, CAST((dim - 1) // {_PQ_SUB} AS INT)
+),
+sub AS (
+  SELECT e.vec_id, mm.m AS m,
+         e.v[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}] AS vs
+  FROM e, LATERAL (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm
+),
+d AS (
+  SELECT sub.vec_id, sub.m, cb.label,
+         round(list_aggregate(list_transform(
+               generate_series(1, {_PQ_SUB}),
+               i -> (sub.vs[CAST(i AS INT)] - cb.c[CAST(i AS INT)])
+                  * (sub.vs[CAST(i AS INT)] - cb.c[CAST(i AS INT)])), 'sum'),
+               6) AS l2
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+codes AS (
+  SELECT vec_id, m, label AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY l2, label) AS rn FROM d)
+  WHERE rn = 1
+),
+lut AS (SELECT m, label, l2 FROM d WHERE vec_id = 0)
+SELECT c.vec_id, round(sum(lut.l2), 6) AS adc_dist
+FROM codes c JOIN lut ON lut.m = c.m AND lut.label = c.code
+WHERE c.vec_id != 0
+GROUP BY c.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 10
+""",
+    description="PQ asymmetric-distance search (the compressed-ANN query "
+    "path): the query vector precomputes a (subspace x codebook-entry) L2 "
+    "lookup table — M x n_labels rows, broadcast — and every corpus "
+    "vector's approximate distance is the sum of 4 table lookups over its "
+    "codes; top-10 nearest by ADC distance. At 100 TB the corpus side "
+    "stores 4 small codes per vector instead of 64 floats and the scan is "
+    "a broadcast-join + sum — no full-vector math per candidate.",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    dims = e.select("label", F.posexplode("v").alias("dim0", "x"))
+    dmean = dims.groupBy("label", "dim0").agg(F.round(F.avg("x"), 6).alias("c"))
+    cb = (
+        dmean.withColumn("m", (F.col("dim0") / _PQ_SUB).cast("int"))
+        .groupBy("label", "m")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim0", "c"))),
+                lambda s: s["c"],
+            ).alias("c")
+        )
+    )
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("vs"),
+                )
+                for m in range(_PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.vs")
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with("vs", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "label", l2.alias("l2")
+    ).cache()
+    codes = (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("l2", "label")).alias("b"))
+        .select("vec_id", "m", F.col("b.label").alias("code"))
+    )
+    lut = d.filter(F.col("vec_id") == 0).select(
+        "m", F.col("label").alias("code"), F.col("l2").alias("q_l2")
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("q_l2"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
