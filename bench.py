@@ -100,6 +100,8 @@ HEADLINE = [
     "bigram_lm_doc_score",
     "tpch_q7_trade_volume",
     "tpch_q8_market_share",
+    "dup_span_fraction",
+    "pq_adc_topk",
 ]
 
 
