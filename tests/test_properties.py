@@ -117,3 +117,28 @@ def test_rate_limiter_window_bound(times, num_apis, rpm):
             t for t, a in granted if a == api and now - t <= 60.0 and t <= now
         ]
         assert len(in_window) <= rpm
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000_000), min_size=1, max_size=400),
+    st.lists(st.floats(0.0, 1.0), min_size=1, max_size=4),
+)
+def test_distributed_percentiles_match_numpy(vals, ps):
+    """Rank selection must equal numpy's linear-interpolation percentile for
+    any value multiset (duplicates, constants, singletons) and any p in
+    [0, 1] — the contract fifo_stats_distributed stakes its oracle on."""
+    import numpy as np
+    import pytest
+
+    from queue_system_simulator_spark.operators.statistics import (
+        exact_percentiles_distributed,
+    )
+    from queue_system_simulator_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = exact_percentiles_distributed(df, "v", ps=tuple(ps))
+    want = [float(np.percentile(np.array(vals, dtype="float64"), p * 100))
+            for p in ps]
+    assert got == pytest.approx(want, abs=1e-9)
