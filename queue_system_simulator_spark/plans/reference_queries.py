@@ -930,3 +930,67 @@ def q_datalake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_id"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_centi"),
     )
+
+
+def _pyds_u32(tag: str) -> str:
+    from queue_system_simulator_spark.sources.generator import u32_hash_sql
+
+    key = (
+        "concat('pyds|42|', CAST(u AS VARCHAR), '|', "
+        f"CAST(i AS VARCHAR), '|{tag}')"
+    )
+    return u32_hash_sql(key, pos_fn="strpos")
+
+
+@register(
+    "pyds_request_log",
+    oracle=f"""
+WITH ids AS (
+  SELECT u.u AS u, i.i AS i
+  FROM (SELECT unnest(generate_series(0, 49)) AS u) u,
+       (SELECT unnest(generate_series(0, 19)) AS i) i
+), base AS (
+  SELECT u, i,
+         {_pyds_u32("gap")} % 901 + 100 AS gap_ms,
+         {_pyds_u32("proc")} % 91 + 10 AS proc_ds
+  FROM ids
+)
+SELECT concat('user_', CAST(u AS VARCHAR)) AS user_id,
+       CAST(SUM(gap_ms) OVER (PARTITION BY u ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS offset_ms,
+       proc_ds / 10.0 AS processing_time
+FROM base
+""",
+    description="§2 A source-extension surface, hash-graded: the custom "
+    "Python DataSource (Spark 4 pyspark.sql.datasource, one task per "
+    "user partition) read as spark.read.format('request_log'), arrivals "
+    "re-expressed as epoch-ms offsets. The source's md5-derived uniforms "
+    "are reproduced exactly by the DuckDB oracle — proving the "
+    "partitioned source contract (deterministic under retry/scheduling) "
+    "end to end, not just in pytest.",
+)
+def q_pyds_request_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.shipping import ensure_shipped
+    from queue_system_simulator_spark.sources.pyds_request_log import (
+        RequestLogDataSource,
+    )
+
+    ensure_shipped(spark)  # the reader class must unpickle on workers
+    try:
+        spark.dataSource.register(RequestLogDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("request_log")
+        .option("users", 50)
+        .option("requests", 20)
+        .option("seed", 42)
+        .load()
+    )
+    epoch_ms = F.unix_millis(F.lit("2023-01-01T00:00:00+00:00").cast("timestamp"))
+    return df.select(
+        "user_id",
+        (F.unix_millis("request_time") - epoch_ms).alias("offset_ms"),
+        "processing_time",
+    )

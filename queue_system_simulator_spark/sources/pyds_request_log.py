@@ -10,10 +10,14 @@ API) into Spark as ``spark.read.format("request_log")``:
 * ``partitions()`` splits the generation space per user — Spark schedules
   one task per partition, so the source scales horizontally exactly like a
   file-based scan (no driver-side row materialization).
-* Rows are generated with a per-user ``random.Random(seed + user)`` stream,
-  so output is deterministic for a given (seed, users, requests) config
-  regardless of task scheduling, retries, or cluster size — the same
-  retry-determinism contract as the DES kernel.
+* Rows are generated from md5-derived integer uniforms keyed
+  ``(seed, user, row, stream)`` — the same engine-portable scheme as
+  ``sources/generator.py`` — so output is deterministic for a given
+  (seed, users, requests) config regardless of task scheduling, retries,
+  or cluster size AND reproducible by a SQL oracle (``random.Random``
+  streams are Python-internal; md5 is universal), which makes the
+  source-extension surface itself hash-gradeable (``pyds_request_log``
+  in the query registry).
 
 Usage::
 
@@ -58,16 +62,21 @@ class RequestLogReader(DataSourceReader):
         ]
 
     def read(self, partition: _UserPartition):
-        import random
+        import hashlib
 
-        rng = random.Random(partition.seed + partition.user)
+        def u32(tag: str, i: int) -> int:
+            key = f"pyds|{partition.seed}|{partition.user}|{i}|{tag}"
+            return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
         t = _EPOCH
-        for _ in range(partition.requests):
-            t = t + timedelta(seconds=rng.uniform(0.1, 1.0))
+        for i in range(partition.requests):
+            # U(0.1, 1.0) s on a 1 ms lattice / round(U(1.0, 10.0), 1) —
+            # integer-exact, engine-portable (see sources/generator.py)
+            t = t + timedelta(milliseconds=u32("gap", i) % 901 + 100)
             yield (
                 f"user_{partition.user}",
                 t.replace(tzinfo=None),
-                round(rng.uniform(1.0, 10.0), 1),
+                (u32("proc", i) % 91 + 10) / 10.0,
             )
 
 
