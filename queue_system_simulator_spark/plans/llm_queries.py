@@ -2701,3 +2701,153 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "ivf_pq_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS ({_CENTROID_SQL}),
+cells AS (
+  SELECT label,
+         round(list_aggregate(list_transform(generate_series(1, CAST(len(c) AS INT)),
+               d -> (qv[CAST(d AS INT)] - c[CAST(d AS INT)])
+                  * (qv[CAST(d AS INT)] - c[CAST(d AS INT)])), 'sum'), 6) AS l2
+  FROM cent, q
+  ORDER BY l2, label
+  LIMIT {IVF_NPROBE}
+),
+dmean AS (
+  SELECT label, s.dim AS dim,
+         round(CAST(sum(e.v[CAST(s.dim AS INT)]) AS DOUBLE) / count(*), 6) AS c
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS dim) s
+  GROUP BY label, s.dim
+),
+cb AS (
+  SELECT label, CAST((dim - 1) // {_PQ_SUB} AS INT) AS m,
+         list(c ORDER BY dim) AS c
+  FROM dmean GROUP BY label, CAST((dim - 1) // {_PQ_SUB} AS INT)
+),
+sub AS (
+  SELECT e.vec_id, e.label AS cell, mm.m AS m,
+         e.v[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}] AS vs
+  FROM e, LATERAL (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm
+),
+d AS (
+  SELECT sub.vec_id, sub.cell, sub.m, cb.label,
+         round(list_aggregate(list_transform(
+               generate_series(1, {_PQ_SUB}),
+               i -> (sub.vs[CAST(i AS INT)] - cb.c[CAST(i AS INT)])
+                  * (sub.vs[CAST(i AS INT)] - cb.c[CAST(i AS INT)])), 'sum'),
+               6) AS l2
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+codes AS (
+  SELECT vec_id, cell, m, label AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY l2, label) AS rn FROM d)
+  WHERE rn = 1
+),
+lut AS (SELECT m, label, l2 FROM d WHERE vec_id = 0)
+SELECT c.vec_id, round(sum(lut.l2), 6) AS adc_dist
+FROM codes c
+JOIN cells ON cells.label = c.cell
+JOIN lut ON lut.m = c.m AND lut.label = c.code
+WHERE c.vec_id != 0
+GROUP BY c.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 10
+""",
+    description="IVF-PQ search (the production large-scale ANN stack): the "
+    "query shortlists {IVF_NPROBE} inverted-file cells by centroid "
+    "distance, then scans ONLY those cells' vectors via PQ asymmetric "
+    "distance (4 code lookups per vector against the broadcast query "
+    "LUT). At 100 TB the scan side is cell-partition-pruned parquet of "
+    "4-byte codes — both the candidate set and the per-candidate cost "
+    "collapse; everything here is broadcast joins + one groupBy keyed "
+    "(vec, subspace).".format(IVF_NPROBE=IVF_NPROBE),
+)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    # --- IVF shortlist: nprobe nearest cell centroids to the query ---
+    dims = e.select("label", F.posexplode("v").alias("dim0", "x"))
+    dmean = dims.groupBy("label", "dim0").agg(F.round(F.avg("x"), 6).alias("c"))
+    cent = dmean.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim0", "c"))),
+            lambda s: s["c"],
+        ).alias("c")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cell_l2 = F.round(
+        F.aggregate(
+            F.zip_with("c", "qv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    cells = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("label", cell_l2.alias("l2"))
+        .orderBy("l2", "label")
+        .limit(IVF_NPROBE)
+        .select(F.col("label").alias("cell"))
+    )
+    # --- PQ codebooks + codes, cell-filtered corpus side ---
+    cb = (
+        dmean.withColumn("m", (F.col("dim0") / _PQ_SUB).cast("int"))
+        .groupBy("label", "m")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim0", "c"))),
+                lambda s: s["c"],
+            ).alias("c")
+        )
+    )
+    shortlisted = e.join(
+        F.broadcast(cells), e["label"] == cells["cell"], "left_semi"
+    )
+    sub = shortlisted.unionByName(
+        e.filter(F.col("vec_id") == 0), allowMissingColumns=False
+    ).dropDuplicates(["vec_id"]).select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("vs"),
+                )
+                for m in range(_PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.vs")
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with("vs", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "label", l2.alias("l2")
+    ).cache()
+    codes = (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("l2", "label")).alias("b"))
+        .select("vec_id", "m", F.col("b.label").alias("code"))
+    )
+    lut = d.filter(F.col("vec_id") == 0).select(
+        "m", F.col("label").alias("code"), F.col("l2").alias("q_l2")
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("q_l2"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
