@@ -2851,3 +2851,182 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35  # cosine radius of a "semantic duplicate" ball
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id, a.label,
+       NOT EXISTS (
+         SELECT 1 FROM e b
+         WHERE b.label = a.label AND b.vec_id < a.vec_id
+           AND round({_COS_SQL}, 6) >= {SEMDEDUP_TAU}
+       ) AS kept
+FROM e a
+""",
+    description="SemDeDup (Abbas et al., arXiv:2303.09540): cluster the "
+    "embedding space, then inside each cluster drop every item that has a "
+    f"lower-id neighbour with cosine >= {SEMDEDUP_TAU} (keep one "
+    "representative per semantic-duplicate ball). Cluster = `label` (the "
+    "same IVF cell the ANN queries use; kmeans_lloyd_assign builds the "
+    "equivalent assignment when labels are absent). Pairwise work is "
+    "confined within a cluster, so cost is sum(c_i^2), controlled by the "
+    "cluster count — at 100 TB pick k ~ sqrt(N) (the paper's regime) and "
+    "the per-cluster quadratic stays bounded while the cross-cluster "
+    "volume never shuffles together.",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = spread(emb, factor=2).alias("a")
+    b = F.broadcast(emb).alias("b")
+    sim = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    # a is the candidate to drop: it has a smaller-id near neighbour b
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(sim >= SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return emb.join(F.broadcast(dropped), "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: distributed Bloom-filter prefilter + exact verify
+# --------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # filter size in bits
+BLOOM_K = 5  # hash functions (double hashing: h1 + j*h2)
+_DEDUP_KEY_LEN = 32  # dedup key = first 32 chars (collision-rich on purpose)
+
+
+def _bloom_hashes_sql(dialect: str) -> str:
+    """h1/h2 from two md5 halves — 48-bit positive ints, identical in both
+    engines (Spark `conv(hex,16,10)`, DuckDB `'0x…'::BIGINT`)."""
+    key = f"substr(text, 1, {_DEDUP_KEY_LEN})"
+    if dialect == "duckdb":
+        return (
+            f"SELECT doc_id, source, {key} AS k, "
+            f"CAST('0x' || substr(md5({key}), 1, 12) AS BIGINT) AS h1, "
+            f"CAST('0x' || substr(md5({key}), 13, 12) AS BIGINT) AS h2 "
+            "FROM documents"
+        )
+    return (
+        f"SELECT doc_id, source, {key} AS k, "
+        f"CAST(conv(substr(md5({key}), 1, 12), 16, 10) AS BIGINT) AS h1, "
+        f"CAST(conv(substr(md5({key}), 13, 12), 16, 10) AS BIGINT) AS h2 "
+        "FROM documents"
+    )
+
+
+@register(
+    "incremental_dedup_bloom",
+    oracle=f"""
+WITH keyed AS ({_bloom_hashes_sql("duckdb")}),
+corpus AS (SELECT * FROM keyed WHERE source <> 'src0'),
+batch  AS (SELECT * FROM keyed WHERE source = 'src0'),
+js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
+cpos AS (
+  SELECT DISTINCT ((h1 + j * h2) % {BLOOM_M}) >> 5 AS word,
+                  ((h1 + j * h2) % {BLOOM_M}) & 31 AS bit
+  FROM corpus, js
+),
+bitmap AS (
+  SELECT word, bit_or(1::BIGINT << CAST(bit AS INT)) AS bits
+  FROM cpos GROUP BY word
+),
+bpos AS (
+  SELECT doc_id, ((h1 + j * h2) % {BLOOM_M}) >> 5 AS word,
+                 ((h1 + j * h2) % {BLOOM_M}) & 31 AS bit
+  FROM batch, js
+),
+bloom AS (
+  SELECT doc_id,
+         min(coalesce((bits >> CAST(bit AS INT)) & 1, 0)) AS hit
+  FROM bpos LEFT JOIN bitmap USING (word)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, bl.hit = 1 AS bloom_positive,
+       EXISTS (SELECT 1 FROM corpus c WHERE c.k = b.k) AS is_dup
+FROM batch b JOIN bloom bl USING (doc_id)
+""",
+    description="Incremental (batch-vs-corpus) dedup with a DISTRIBUTED "
+    "Bloom filter, the pattern for 'is this new crawl page already in the "
+    "100 TB corpus': corpus keys hash into an m-bit filter built as a "
+    f"bit_or aggregation over (word, bit) pairs — m={BLOOM_M} bits is "
+    f"{BLOOM_M // 32} bigint words, a broadcastable frame that the new "
+    "batch probes map-side; only Bloom-positive survivors (true dups + "
+    "~0.6% false positives at these m/n/k) reach the exact verify "
+    "semi-join, so the expensive exact pass scales with the dup mass, not "
+    "the batch. No false negatives: bloom_positive=false proves "
+    "is_dup=false without touching the corpus. At 100 TB: size m at "
+    "~10 bits/key, shard the filter by key range, and keep the per-shard "
+    "bitmap pinned executor-side. Key = 32-char text prefix (configurable; "
+    "prefix keys are deliberately collision-rich in the test corpus).",
+)
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    keyed = spark.sql(_bloom_hashes_sql("spark"))
+    corpus = keyed.filter(F.col("source") != "src0")
+    batch = keyed.filter(F.col("source") == "src0")
+    js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    pos = (F.col("h1") + F.col("j") * F.col("h2")) % F.lit(BLOOM_M)
+    word_bit = [
+        F.shiftright(pos, 5).alias("word"),
+        (pos % F.lit(32)).cast("int").alias("bit"),
+    ]
+    bitmap = (
+        corpus.select(js, "h1", "h2")
+        .select(*word_bit)
+        .distinct()
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+    probe = batch.select("doc_id", js, "h1", "h2").select("doc_id", *word_bit)
+    hit = F.coalesce(
+        F.expr("shiftright(bits, bit) & 1"), F.lit(0).cast("long")
+    )
+    bloom = (
+        probe.join(F.broadcast(bitmap), "word", "left")
+        .groupBy("doc_id")
+        .agg(F.min(hit).alias("hit"))
+    )
+    # exact verify ONLY on Bloom survivors; Bloom has no false negatives,
+    # so everything else is proven-unique without touching the corpus
+    survivors = batch.join(bloom.filter(F.col("hit") == 1), "doc_id")
+    dup_ids = (
+        survivors.join(corpus.select("k").distinct(), "k", "left_semi")
+        .select("doc_id")
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        batch.join(bloom, "doc_id")
+        .join(F.broadcast(dup_ids), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("hit") == 1).alias("bloom_positive"),
+            F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -251,3 +251,42 @@ def test_lsh_candidates_recall_and_rejection(spark, tmp_path):
     }
     assert (1, 2) in cand
     assert (1, 3) not in cand and (2, 3) not in cand
+
+
+def test_semdedup_keeps_cluster_minimum_and_prunes_monotone(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["semdedup_prune"].build(spark, sf_dir)
+    # the smallest vec_id in every cluster can have no smaller neighbour,
+    # so it is always kept
+    mins = (
+        res.groupBy("label")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .join(res, ["label", "vec_id"])
+    )
+    assert mins.filter(~F.col("kept")).count() == 0
+    # every row is classified exactly once
+    n = res.count()
+    assert res.select("vec_id").distinct().count() == n
+
+
+def test_bloom_dedup_has_no_false_negatives(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["incremental_dedup_bloom"].build(spark, sf_dir).cache()
+    # Bloom guarantee: every exact dup is bloom-positive
+    assert res.filter(F.col("is_dup") & ~F.col("bloom_positive")).count() == 0
+    # exact flag matches an independently-computed semi-join
+    from queue_system_simulator_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 32).alias("k")
+    )
+    batch = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0").select("k").distinct()
+    expected = {
+        r.doc_id for r in batch.join(corpus, "k", "left_semi").collect()
+    }
+    got = {r.doc_id for r in res.filter("is_dup").collect()}
+    assert got == expected
+    res.unpersist()
