@@ -1211,3 +1211,90 @@ def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).cast("long").alias("volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order data layout (multi-dimensional clustering for file skipping)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16  # bits kept per dimension; z-value is 2*_Z_BITS wide
+_Z_FILE_SHIFT = 2 * _Z_BITS - 6  # top 6 z-bits -> 64 file buckets
+
+
+def _interleave_sql(dialect: str, a: str = "a", b: str = "b") -> str:
+    """Bit-interleave two _Z_BITS-wide ints into one z-value; generated
+    term-by-term so the Spark and DuckDB expressions are structurally
+    identical (disjoint bits, so + == |)."""
+    terms = []
+    for i in range(_Z_BITS):
+        if dialect == "duckdb":
+            terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+        else:
+            terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_file_layout",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         min(epoch_us(ts) // 1000000) AS tlo,
+         max(epoch_us(ts) // 1000000) AS thi
+  FROM events
+),
+dims AS (
+  SELECT ((user_id - ulo) * {(1 << _Z_BITS) - 1}) // greatest(uhi - ulo, 1) AS a,
+         (((epoch_us(ts) // 1000000) - tlo) * {(1 << _Z_BITS) - 1})
+           // greatest(thi - tlo, 1) AS b
+  FROM events, bounds
+),
+zz AS (SELECT a, b, {_interleave_sql("duckdb")} AS zval FROM dims)
+SELECT zval >> {_Z_FILE_SHIFT} AS file_id, count(*) AS n_rows,
+       min(a) AS user_lo, max(a) AS user_hi,
+       min(b) AS sec_lo, max(b) AS sec_hi
+FROM zz GROUP BY zval >> {_Z_FILE_SHIFT}
+""",
+    description="Z-order data layout (what Delta/Iceberg OPTIMIZE ZORDER "
+    "does): range-normalize two predicate columns (user_id, second-of-"
+    "epoch) to a 16-bit grid, interleave their bits into one z-value and "
+    "derive the target file from its top bits. Needs NO global sort — the "
+    "bounds row broadcasts and every row computes its file id map-side "
+    "(vs ntile's single-partition window), so layout is a plain shuffle-"
+    "by-file-id write at any scale. The per-file min/max output IS the "
+    "point: each file covers a small rectangle in (user, time) space, so "
+    "a reader's footer-stats pruning skips files for predicates on EITHER "
+    "column — the 100 TB scan-avoidance story. In production follow with "
+    "df.repartition('file_id').sortWithinPartitions('zval').write.",
+)
+def q_zorder_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mask = (1 << _Z_BITS) - 1
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 1000000").alias("sec")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("sec").alias("tlo"),
+        F.max("sec").alias("thi"),
+    )
+    dims = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((user_id - ulo) * {mask}) div greatest(uhi - ulo, 1)")
+        .alias("a"),
+        F.expr(f"((sec - tlo) * {mask}) div greatest(thi - tlo, 1)")
+        .alias("b"),
+    )
+    zz = dims.withColumn("zval", F.expr(_interleave_sql("spark")))
+    return (
+        zz.groupBy(
+            F.shiftright("zval", _Z_FILE_SHIFT).alias("file_id")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("user_lo"),
+            F.max("a").alias("user_hi"),
+            F.min("b").alias("sec_lo"),
+            F.max("b").alias("sec_hi"),
+        )
+    )

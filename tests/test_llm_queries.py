@@ -290,3 +290,27 @@ def test_bloom_dedup_has_no_false_negatives(spark, sf_dir):
     got = {r.doc_id for r in res.filter("is_dup").collect()}
     assert got == expected
     res.unpersist()
+
+
+def test_zorder_files_are_small_rectangles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        _Z_BITS,
+        _Z_FILE_SHIFT,
+    )
+
+    res = QUERIES["zorder_file_layout"].build(spark, sf_dir).collect()
+    # top 6 z-bits = 3 high bits per dimension -> each file covers at most
+    # a 1/8 x 1/8 rectangle of the normalized (user, time) grid; this is
+    # the property that makes footer-stats pruning work on either column
+    span_cap = 1 << (_Z_BITS - 3)
+    for r in res:
+        assert 0 <= r.file_id < (1 << (2 * _Z_BITS - _Z_FILE_SHIFT))
+        assert r.user_hi - r.user_lo < span_cap
+        assert r.sec_hi - r.sec_lo < span_cap
+    # files partition the table: row counts add up
+    from queue_system_simulator_spark.schema import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in res) == total
