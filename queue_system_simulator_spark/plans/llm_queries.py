@@ -3030,3 +3030,230 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (hashed n-gram features)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hash-feature buckets (paper uses 10k; sized to corpus)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT doc_id, lang, unnest(w) AS g FROM toks),
+big AS (
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) s
+),
+feats AS (
+  SELECT doc_id, lang, CAST('0x' || substr(md5(g), 1, 2) AS BIGINT) AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+bg  AS (SELECT b, count(*) AS cq FROM feats WHERE lang <> 'en' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS tp,
+               (SELECT count(*) FROM feats WHERE lang <> 'en') AS tq),
+ratio AS (
+  SELECT f.b,
+         CAST(round((ln((coalesce(ct, 0) + 1.0) / (tp + {DSIR_BUCKETS}.0))
+                   - ln((coalesce(cq, 0) + 1.0) / (tq + {DSIR_BUCKETS}.0)))
+                   * 1000000) AS BIGINT) AS lr_micro
+  FROM (SELECT DISTINCT b FROM feats) f
+  LEFT JOIN tgt USING (b) LEFT JOIN bg USING (b), tot
+)
+SELECT f.doc_id, CAST(sum(r.lr_micro) AS BIGINT) AS dsir_logw_micro,
+       count(*) AS n_feats
+FROM feats f JOIN ratio r ON f.b = r.b
+GROUP BY f.doc_id
+""",
+    description="DSIR importance weights (Xie et al., arXiv:2302.03169): "
+    "hash word uni+bigrams into "
+    f"{DSIR_BUCKETS} buckets, fit Laplace-smoothed bucket distributions "
+    "for the target (lang='en') and background corpora, and score every "
+    "document by its summed log-likelihood ratio — the weight used to "
+    "importance-resample raw data toward a target domain. Per-bucket "
+    "log-ratios are rounded into integer micro-units BEFORE the per-doc "
+    "sum, so the aggregation is exact integer math — order-independent "
+    "across engines and cluster sizes. Scale shape: two bucket-count "
+    f"aggregations ({DSIR_BUCKETS} rows — broadcastable model tables), "
+    "then a map-side probe join; at 100 TB the model is fit once and "
+    "reused to weight any stream of documents without a shuffle.",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    grams = spread(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("w"), bigrams)).alias("g"),
+    )
+    feats = grams.select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("g"), 1, 2), 16, 10).cast("long").alias("b"),
+    )
+    tgt = feats.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    bg = feats.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("cq")
+    )
+    tot = feats.agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("tp"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("tq"),
+    )
+    lr = (
+        F.log((F.coalesce("ct", F.lit(0)) + 1.0) / (F.col("tp") + float(DSIR_BUCKETS)))
+        - F.log((F.coalesce("cq", F.lit(0)) + 1.0) / (F.col("tq") + float(DSIR_BUCKETS)))
+    )
+    ratio = (
+        feats.select("b")
+        .distinct()
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(bg), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.round(lr * 1_000_000).cast("long").alias("lr_micro"))
+    )
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_micro").alias("dsir_logw_micro"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (edit-distance) dedup pairs, prefix-blocked
+# --------------------------------------------------------------------------
+
+_FUZZY_BLOCK = 16  # blocking key: first 16 chars
+_FUZZY_PROBE = 96  # edit distance computed over the first 96 chars
+_FUZZY_MAX_DIST = 24  # <= 25% of the probe window
+
+
+@register(
+    "fuzzy_edit_dedup_pairs",
+    oracle=f"""
+WITH dd AS (
+  SELECT doc_id, substr(text, 1, {_FUZZY_BLOCK}) AS k,
+         substr(text, 1, {_FUZZY_PROBE}) AS t
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.t, b.t) AS edit_dist
+FROM dd a JOIN dd b ON a.k = b.k AND a.doc_id < b.doc_id
+WHERE levenshtein(a.t, b.t) <= {_FUZZY_MAX_DIST}
+""",
+    description="Fuzzy dedup by bounded edit distance: block documents on "
+    f"a {_FUZZY_BLOCK}-char prefix key, run Levenshtein over the first "
+    f"{_FUZZY_PROBE} chars only within a block, keep pairs within "
+    f"{_FUZZY_MAX_DIST} edits — catches the OCR-noise/near-miss dups that "
+    "hash dedup cannot (one pair in the test corpus is fuzzy-only). The "
+    "O(len^2) DP runs JVM-side (built-in levenshtein) and only on blocked "
+    "candidates, never all-pairs; at 100 TB swap the prefix key for the "
+    "MinHash band key (minhash_lsh_pairs) to keep recall on edits inside "
+    "the block window.",
+)
+def q_fuzzy_edit_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dd = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, _FUZZY_BLOCK).alias("k"),
+        F.substring("text", 1, _FUZZY_PROBE).alias("t"),
+    )
+    a = spread(dd, factor=2).alias("a")
+    b = F.broadcast(dd).alias("b")
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+    )
+
+
+# --------------------------------------------------------------------------
+# Perplexity-quantile filter (threshold = corpus p30 of the LM score)
+# --------------------------------------------------------------------------
+
+PPL_KEEP_QUANTILE = 0.3  # drop the worst-scoring 30% of the corpus
+
+_BIGRAM_SCORE_SQL = """
+toks AS (
+  SELECT doc_id, t.tokens AS tokens FROM documents d,
+       LATERAL (SELECT string_split(d.text, ' ') AS tokens) t
+),
+big AS (
+  SELECT doc_id, tokens[i] AS a, tokens[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 1, 0))) AS i) s
+),
+cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+ca AS (SELECT a, count(*) AS c_a FROM big GROUP BY a),
+v AS (SELECT count(DISTINCT a) AS vocab FROM ca),
+score AS (
+  SELECT g.doc_id,
+         round(sum(ln((cab.c_ab + 1.0) / (ca.c_a + v.vocab))) / count(*), 6)
+           AS avg_logprob
+  FROM big g
+  JOIN cab ON g.a = cab.a AND g.b = cab.b
+  JOIN ca ON g.a = ca.a
+  CROSS JOIN v
+  GROUP BY g.doc_id
+)
+"""
+
+
+@register(
+    "ppl_quantile_filter",
+    oracle=f"""
+WITH {_BIGRAM_SCORE_SQL},
+thr AS (
+  SELECT round(quantile_cont(avg_logprob, {PPL_KEEP_QUANTILE}), 6) AS cut
+  FROM score
+)
+SELECT s.doc_id, s.avg_logprob, s.avg_logprob >= t.cut AS keep
+FROM score s, thr t
+""",
+    description="Perplexity filtering as a pipeline stage (CCNet / "
+    "RefinedWeb recipe): score every document with the corpus bigram LM "
+    "(bigram_lm_doc_score), compute the exact linear-interpolated "
+    f"p{int(PPL_KEEP_QUANTILE * 100)} of the score distribution, and keep "
+    "documents at or above the cut — a GLOBAL quantile threshold, not a "
+    "constant, so the filter adapts to the corpus. Scores are rounded to "
+    "the engine-parity 1e-6 grid before the quantile, so both engines "
+    "interpolate identical inputs. The threshold is a one-row broadcast; "
+    "at 100 TB replace the exact percentile with the sharded exact or "
+    "sketch variant (fifo_stats_distributed / fifo_stats_approx pattern) "
+    "— the filter itself stays a map-side comparison.",
+)
+def q_ppl_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score = q_bigram_lm_doc_score(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    thr = score.agg(
+        F.round(
+            F.expr(f"percentile(avg_logprob, {PPL_KEEP_QUANTILE})"), 6
+        ).alias("cut")
+    )
+    return score.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_logprob",
+        (F.col("avg_logprob") >= F.col("cut")).alias("keep"),
+    )

@@ -314,3 +314,50 @@ def test_zorder_files_are_small_rectangles(spark, sf_dir):
 
     total = load_table(spark, sf_dir, "events").count()
     assert sum(r.n_rows for r in res) == total
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    res = QUERIES["dsir_importance_weights"].build(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    by_lang = (
+        res.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg(F.col("dsir_logw_micro") / F.col("n_feats")).alias("m"))
+        .collect()
+    )
+    means = {r[0]: r.m for r in by_lang}
+    # the likelihood ratio is trained toward lang='en': target docs must
+    # score higher per-feature than background docs on average
+    assert means[True] > means[False]
+
+
+def test_fuzzy_dedup_supersets_exact_prefix_dups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["fuzzy_edit_dedup_pairs"].build(spark, sf_dir).cache()
+    # distance 0 pairs == identical probe windows; all distances bounded
+    assert res.filter(F.col("edit_dist") > 24).count() == 0
+    zero = res.filter(F.col("edit_dist") == 0).count()
+    assert zero <= res.count()
+    res.unpersist()
+
+
+def test_ppl_filter_keeps_top_quantile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["ppl_quantile_filter"].build(spark, sf_dir).cache()
+    n = res.count()
+    kept = res.filter("keep").count()
+    # p30 cut keeps ~70% (interpolation can shift the boundary by one doc)
+    assert 0.6 * n <= kept <= 0.8 * n
+    # every kept doc scores >= every dropped doc
+    min_kept = res.filter("keep").agg(F.min("avg_logprob")).first()[0]
+    max_dropped = res.filter(~F.col("keep")).agg(
+        F.max("avg_logprob")
+    ).first()[0]
+    assert min_kept >= max_dropped
+    res.unpersist()
