@@ -3257,3 +3257,205 @@ def q_ppl_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logprob",
         (F.col("avg_logprob") >= F.col("cut")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (iterative; 3 unrolled rounds)
+# --------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled BPE trainer: each round finds the most frequent adjacent
+    symbol pair (weighted by word frequency) and applies the merge
+    left-to-right non-overlapping.  The non-overlap rule is relational:
+    group consecutive matching positions into runs (i - row_number), merge
+    every odd-indexed member of a run — identical algorithm on both
+    engines, no sequential fold needed.  CTEs are MATERIALIZED: DuckDB
+    inlines CTE references, and a 3-round chain re-expanded 2-3x per
+    round goes exponential otherwise."""
+    parts = [
+        """w1 AS MATERIALIZED (
+  SELECT g AS w, CAST(count(*) AS BIGINT) AS cnt,
+         list_transform(generate_series(1, length(g)), i -> substr(g, i, 1))
+           AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS g FROM documents)
+  WHERE length(g) >= 2
+  GROUP BY g
+)"""
+    ]
+    for n in range(1, BPE_ROUNDS + 1):
+        parts.append(f"""p{n} AS MATERIALIZED (
+  SELECT w, cnt, i, syms[i] AS s1, syms[i + 1] AS s2
+  FROM w{n}, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) t
+  WHERE len(syms) >= 2
+)""")
+        parts.append(f"""b{n} AS MATERIALIZED (
+  SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS f
+  FROM p{n} GROUP BY s1, s2
+  ORDER BY f DESC, s1, s2 LIMIT 1
+)""")
+        parts.append(f"""g{n} AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, row_number() OVER (PARTITION BY w, rid ORDER BY i) AS k
+    FROM (
+      SELECT p.w, p.i,
+             p.i - row_number() OVER (PARTITION BY p.w ORDER BY p.i) AS rid
+      FROM p{n} p JOIN b{n} b USING (s1, s2)
+    )
+  ) WHERE k % 2 = 1
+)""")
+        if n < BPE_ROUNDS:
+            parts.append(f"""w{n + 1} AS MATERIALIZED (
+  SELECT s.w, s.cnt,
+         list(CASE WHEN gj.i IS NOT NULL THEN b.s1 || b.s2 ELSE s.sym END
+              ORDER BY s.j) AS syms
+  FROM (
+    SELECT w, cnt, j, syms[j] AS sym
+    FROM w{n}, LATERAL (SELECT unnest(generate_series(1, len(syms))) AS j) t
+  ) s
+  CROSS JOIN b{n} b
+  LEFT JOIN g{n} gj ON gj.w = s.w AND gj.i = s.j
+  LEFT JOIN g{n} gp ON gp.w = s.w AND gp.i = s.j - 1
+  WHERE gp.i IS NULL
+  GROUP BY s.w, s.cnt
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {n} AS round, s1 AS left_sym, s2 AS right_sym, f FROM b{n}"
+        for n in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+@register(
+    "bpe_merge_training",
+    oracle=_bpe_oracle_sql(),
+    description=f"BPE tokenizer training, {BPE_ROUNDS} merge rounds "
+    "(Sennrich et al., arXiv:1508.07909): split the word vocabulary into "
+    "character symbols, repeatedly find the globally most frequent "
+    "adjacent pair (weighted by word frequency, ties broken "
+    "lexicographically) and merge it left-to-right non-overlapping. The "
+    "non-overlap rule — normally a sequential scan — is done relationally: "
+    "consecutive matching positions form runs (i - row_number), and the "
+    "odd-indexed members of each run merge; identical in Spark and the "
+    "unrolled-CTE oracle. Scale shape: the pair-count shuffle is keyed on "
+    "symbol pairs (vocab-sized, tiny), the argmax is a 1-row broadcast, "
+    "and the merge applies map-side per word — the iteration state is the "
+    "symbolized VOCABULARY (always small), never the corpus, which is "
+    "read once for the initial word counts. That is exactly how "
+    "production BPE trainers stay tractable on 100 TB corpora.",
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        )
+        # the vocabulary is tiny by construction; keep the whole iteration
+        # on the driver-adjacent fast path (one partition, no shuffles
+        # beyond the pair counts) and truncate lineage between rounds
+        .coalesce(1)
+    )
+    merges = []
+    for n in range(1, BPE_ROUNDS + 1):
+        words = words.localCheckpoint(eager=True)
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "w",
+                "cnt",
+                F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
+                "syms",
+            )
+            .select(
+                "w",
+                "cnt",
+                "i",
+                F.expr("element_at(syms, i)").alias("s1"),
+                F.expr("element_at(syms, i + 1)").alias("s2"),
+            )
+        )
+        best = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("cnt").alias("f"))
+            .orderBy(F.desc("f"), "s1", "s2")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(n).alias("round"),
+                F.col("s1").alias("left_sym"),
+                F.col("s2").alias("right_sym"),
+                "f",
+            )
+        )
+        if n == BPE_ROUNDS:
+            break
+        match = pairs.join(F.broadcast(best.select("s1", "s2")), ["s1", "s2"])
+        rid = (F.col("i") - F.row_number().over(
+            Window.partitionBy("w").orderBy("i")
+        )).alias("rid")
+        sel = (
+            match.select("w", "i", rid)
+            .withColumn(
+                "k",
+                F.row_number().over(
+                    Window.partitionBy("w", "rid").orderBy("i")
+                ),
+            )
+            .filter(F.col("k") % 2 == 1)
+            .select("w", F.col("i").alias("mi"))
+        )
+        sym_pos = words.select(
+            "w", "cnt", F.posexplode("syms").alias("j0", "sym")
+        ).withColumn("j", F.col("j0") + 1)
+        merged_sym = F.concat(F.col("s1"), F.col("s2"))
+        s = sym_pos.alias("s")
+        gj = sel.alias("gj")
+        gp = sel.alias("gp")
+        reb = (
+            s.crossJoin(F.broadcast(best.select("s1", "s2")))
+            .join(
+                F.broadcast(gj),
+                (F.col("s.w") == F.col("gj.w"))
+                & (F.col("gj.mi") == F.col("s.j")),
+                "left_outer",
+            )
+            .join(
+                F.broadcast(gp),
+                (F.col("s.w") == F.col("gp.w"))
+                & (F.col("gp.mi") == F.col("s.j") - 1),
+                "left_outer",
+            )
+            .filter(F.col("gp.mi").isNull())
+            .select(
+                F.col("s.w").alias("w"),
+                F.col("s.cnt").alias("cnt"),
+                F.col("s.j").alias("j"),
+                F.when(F.col("gj.mi").isNotNull(), merged_sym)
+                .otherwise(F.col("s.sym"))
+                .alias("sym"),
+            )
+        )
+        words = (
+            reb.groupBy("w", "cnt")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "sym"))),
+                    lambda st: st["sym"],
+                ).alias("syms")
+            )
+            .coalesce(1)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

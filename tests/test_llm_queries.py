@@ -361,3 +361,46 @@ def test_ppl_filter_keeps_top_quantile(spark, sf_dir):
     ).first()[0]
     assert min_kept >= max_dropped
     res.unpersist()
+
+
+def test_bpe_merges_match_classic_python_trainer(spark, sf_dir):
+    """Independent check: classic sequential BPE (Sennrich alg. 1) over the
+    same word counts must produce the identical merge table."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts = Counter()
+    for t in texts.column("text").to_pylist():
+        for w in t.split(" "):
+            if len(w) >= 2:
+                counts[w] += 1
+    vocab = {w: list(w) for w in counts}
+    expected = []
+    for _ in range(3):
+        pair_f = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pair_f[(x, y)] += counts[w]
+        best = min(pair_f.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append((best[0], best[1], pair_f[best]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    res = QUERIES["bpe_merge_training"].build(spark, sf_dir).collect()
+    got = [
+        (r.left_sym, r.right_sym, r.f)
+        for r in sorted(res, key=lambda r: r.round)
+    ]
+    assert got == expected
