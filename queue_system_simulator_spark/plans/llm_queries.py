@@ -3100,7 +3100,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.conv(F.substring(F.md5("g"), 1, 2), 16, 10).cast("long").alias("b"),
-    )
+    ).cache()  # reused 5x (tgt/bg/totals/bucket-universe/probe): one tokenize pass
     tgt = feats.filter(F.col("lang") == "en").groupBy("b").agg(
         F.count(F.lit(1)).alias("ct")
     )
@@ -3246,7 +3246,7 @@ FROM score s, thr t
 def q_ppl_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = q_bigram_lm_doc_score(spark, sf_dir).select(
         "doc_id", "avg_logprob"
-    )
+    ).cache()  # scored once, read twice (threshold scalar + keep flags)
     thr = score.agg(
         F.round(
             F.expr(f"percentile(avg_logprob, {PPL_KEEP_QUANTILE})"), 6
