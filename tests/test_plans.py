@@ -312,3 +312,31 @@ def test_no_literal_repartition_in_query_bodies():
             if re.search(r"\.repartition\(\s*\d", line):
                 offenders.append(f"{f.name}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_bloom_dedup_broadcasts_bitmap_no_cartesian(spark, sf_dir):
+    # the m/32-word bitmap and the survivor id list must ride broadcast
+    # joins; the corpus side must never cross-join or sort-merge
+    plan = _executed_plan(
+        QUERIES["incremental_dedup_bloom"].build(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_has_no_global_sort_window(spark, sf_dir):
+    # file assignment is map-side (top z-bits), NOT an ntile over a global
+    # sort: no Window operator and no single-partition Exchange
+    plan = _executed_plan(QUERIES["zorder_file_layout"].build(spark, sf_dir))
+    assert "Window" not in plan
+    # the bounds row arrives via broadcast, not a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_model_tables_broadcast(spark, sf_dir):
+    plan = _executed_plan(
+        QUERIES["dsir_importance_weights"].build(spark, sf_dir)
+    )
+    # bucket model tables (<=256 rows) join the feature stream by broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
