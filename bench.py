@@ -102,6 +102,15 @@ HEADLINE = [
     "tpch_q8_market_share",
     "dup_span_fraction",
     "pq_adc_topk",
+    # round-3 additions: curation/layout operators (bpe_merge_training is
+    # excluded: vocab-bound iterative showcase, cost is per-round stage
+    # latency, not corpus throughput)
+    "semdedup_prune",
+    "incremental_dedup_bloom",
+    "zorder_file_layout",
+    "dsir_importance_weights",
+    "fuzzy_edit_dedup_pairs",
+    "ppl_quantile_filter",
 ]
 
 

@@ -3459,3 +3459,133 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization (per-dimension int8 codes + reconstruction error)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embed_sq8_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, s.dim AS dim, v[CAST(s.dim AS INT)] AS val
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.v))) AS dim) s
+),
+b AS (
+  SELECT dim, min(val) AS lo, max(val) AS hi FROM e GROUP BY dim
+),
+q AS (
+  SELECT e.vec_id, e.dim,
+         least(CAST(floor((e.val - b.lo) * 255.0
+                          / (CASE WHEN b.hi > b.lo THEN b.hi - b.lo
+                                  ELSE 1.0 END)) AS BIGINT), 255) AS code,
+         b.lo, b.hi
+  FROM e JOIN b USING (dim)
+)
+SELECT vec_id,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(min(code) AS BIGINT) AS code_min,
+       CAST(max(code) AS BIGINT) AS code_max
+FROM q
+GROUP BY vec_id
+""",
+    description="SQ8 scalar quantization: per-dimension [min,max] trained "
+    "on the corpus (a 64-row broadcast model), each float maps to an int8 "
+    "code via floor((v-lo)*255/range) — 4x memory cut that FAISS-style "
+    "stacks apply before/instead of PQ. Codes are exact integers, so the "
+    "per-vector summary (sum/min/max of codes) is engine- and "
+    "partitioning-independent with no float tolerance at all. Scale "
+    "shape: one per-dim agg (64 rows) + a map-side encode; the codes "
+    "table is what a 100 TB ANN serving tier actually stores.",
+)
+def q_embed_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .select(
+            "vec_id", F.posexplode("v").alias("pos", "val")
+        )
+        .select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    )
+    b = e.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    rng = F.when(F.col("hi") > F.col("lo"), F.col("hi") - F.col("lo")).otherwise(
+        F.lit(1.0)
+    )
+    code = F.least(
+        F.floor((F.col("val") - F.col("lo")) * 255.0 / rng).cast("long"),
+        F.lit(255).cast("long"),
+    )
+    q = e.join(F.broadcast(b), "dim").select("vec_id", code.alias("code"))
+    return q.groupBy("vec_id").agg(
+        F.sum("code").alias("code_sum"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF probe against brute force
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ivf_recall_at_k",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact AS (
+  SELECT b.vec_id
+  FROM (SELECT v FROM e WHERE vec_id = 0) a, e b
+  WHERE b.vec_id != 0
+  ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id
+  LIMIT {IVF_TOPK}
+),
+cent AS ({_CENTROID_SQL}),
+cells AS (
+  SELECT label,
+         round(list_aggregate(list_transform(generate_series(1, CAST(len(c) AS INT)),
+               d -> (qv[CAST(d AS INT)] - c[CAST(d AS INT)])
+                  * (qv[CAST(d AS INT)] - c[CAST(d AS INT)])), 'sum'), 6) AS l2
+  FROM cent, q
+  ORDER BY l2, label
+  LIMIT {IVF_NPROBE}
+),
+ivf AS (
+  SELECT b.vec_id
+  FROM e b JOIN cells ON b.label = cells.label, q
+  WHERE b.vec_id != 0
+  ORDER BY round(list_dot_product(q.qv, b.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(b.v, b.v))), 6) DESC, b.vec_id
+  LIMIT {IVF_TOPK}
+)
+SELECT CAST({IVF_TOPK} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / {IVF_TOPK}.0, 6) AS recall_at_k
+FROM exact JOIN ivf USING (vec_id)
+""",
+    description="ANN quality evaluation: recall@"
+    f"{IVF_TOPK} of the IVF nprobe={IVF_NPROBE} search against the exact "
+    "brute-force top-k for the same query — the metric that tunes the "
+    "nprobe/speed tradeoff before shipping an index. Composes the "
+    "engine's own embed_cosine_topk and embed_ivf_probe_topk plans and "
+    "reduces to one row; both candidate lists are tiny, so the comparison "
+    "itself is a broadcast join. The same harness pattern sweeps nprobe "
+    "values at 100 TB using a sampled query set.",
+)
+def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_embed_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = q_embed_ivf_probe_topk(spark, sf_dir).select("vec_id")
+    hits = exact.join(F.broadcast(approx), "vec_id")
+    return hits.agg(
+        F.lit(IVF_TOPK).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / float(IVF_TOPK), 6).alias("recall_at_k"),
+    )

@@ -404,3 +404,25 @@ def test_bpe_merges_match_classic_python_trainer(spark, sf_dir):
         for r in sorted(res, key=lambda r: r.round)
     ]
     assert got == expected
+
+
+def test_sq8_codes_bounded_and_complete(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["embed_sq8_quantize"].build(spark, sf_dir).cache()
+    bad = res.filter(
+        (F.col("code_min") < 0)
+        | (F.col("code_max") > 255)
+        | (F.col("n_dims") != 64)
+    ).count()
+    assert bad == 0
+    # per-dim extremes must hit the code range edges somewhere
+    assert res.agg(F.max("code_max")).first()[0] == 255
+    assert res.agg(F.min("code_min")).first()[0] == 0
+    res.unpersist()
+
+
+def test_ivf_recall_between_zero_and_one(spark, sf_dir):
+    row = QUERIES["ivf_recall_at_k"].build(spark, sf_dir).first()
+    assert 0 <= row.n_overlap <= row.k
+    assert abs(row.recall_at_k - round(row.n_overlap / row.k, 6)) < 1e-9
