@@ -79,17 +79,22 @@ DRIVER_WINDOW = [
     "embed_knn_graph",
     "bigram_lm_doc_score",
     # --- never-driver-graded: pattern-distinct TPC-H adaptations ---
-    # (q4/q5/q22 wait for the round-4 rotation; 50 slots is 50)
+    # (q4/q5/q10/q13/q17/q19/q22 wait for the round-4 rotation; 50 slots
+    # is 50 — four slots went to the round-3 operator families below)
     "tpch_q7_trade_volume",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
     "tpch_q12_priority_by_flag",
-    "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
     "tpch_q21_waiting_suppliers",
+    # --- round-3 operator families with no graded sibling: distributed
+    # Bloom dedup, iterative BPE training, DSIR data selection, Z-order
+    # layout (each a genuinely new pattern, not a composition of already-
+    # graded plans) ---
+    "incremental_dedup_bloom",
+    "bpe_merge_training",
+    "dsir_importance_weights",
+    "zorder_file_layout",
 ]
 
 

@@ -1161,3 +1161,222 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(round({_DISC_PRICE_SQL}, 2) AS DECIMAL(18,6))) AS ps_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+esupp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT p.p_partkey, p.p_brand, e.s_name, e.s_acctbal, e.n_name, ps.ps_cost,
+         min(ps.ps_cost) OVER (PARTITION BY p.p_partkey) AS best
+  FROM ps JOIN esupp e ON ps.suppkey = e.s_suppkey
+          JOIN part p ON ps.partkey = p.p_partkey
+  WHERE p.p_size <= 15
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_cost AS DOUBLE) AS supply_cost
+FROM offers WHERE ps_cost = best
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    description="TPC-H Q2 (minimum-cost supplier) adapted to this schema: "
+    "the supply relation is derived from lineitem (per part x supplier, "
+    "cost = min discounted line price, exact decimal), suppliers "
+    "restricted to one region, and the correlated MIN subquery is "
+    "decorrelated as a per-part window min with an equality filter — the "
+    "plan shape Spark gives the real Q2. supplier/nation/region and part "
+    "are broadcast dims; the one shuffle is the part x supplier "
+    "aggregation of lineitem.",
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cost = F.round(_disc_price(), 2).cast("decimal(18,6)")
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", cost.alias("c"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min("c").alias("ps_cost"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    esupp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    offers = (
+        ps.join(F.broadcast(esupp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .withColumn(
+            "best", F.min("ps_cost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        offers.filter(F.col("ps_cost") == F.col("best"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH val AS (
+  SELECT l.l_partkey AS partkey,
+         sum(CAST(round({_DISC_PRICE_SQL}, 2) AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(8,2))) AS v
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+),
+tot AS (SELECT sum(v) AS t FROM val)
+SELECT partkey, CAST(round(v, 2) AS DOUBLE) AS stock_value
+FROM val, tot
+WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) * 0.001
+""",
+    description="TPC-H Q11 (important stock) adapted to this schema: "
+    "per-part 'stock value' derived from one nation's lineitems (exact "
+    "decimal money x quantity), kept only where the part's value exceeds "
+    "0.1% of the nation's total — the group-vs-global-scalar HAVING "
+    "pattern, decorrelated as a one-row broadcast cross join. The value "
+    "aggregation shuffles once on part key; the global total is a "
+    "second-stage agg of the already-reduced frame, not a second scan.",
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    money = F.round(_disc_price(), 2).cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(8,2)")
+    val = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(money).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double") > F.col("t").cast("double") * 0.001
+        )
+        .select("partkey", F.round("v", 2).cast("double").alias("stock_value"))
+    )
+
+
+@register(
+    "tpch_q20_promotable_suppliers",
+    oracle="""
+WITH pq AS (
+  SELECT l.l_suppkey AS suppkey,
+         sum(CASE WHEN year(l.l_shipdate) = 1998
+                  THEN CAST(l.l_quantity AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS q98,
+         sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS qall
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'SMALL'
+  GROUP BY l.l_suppkey, l.l_partkey
+),
+hot AS (SELECT DISTINCT suppkey FROM pq WHERE q98 * 2 > qall)
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+  AND EXISTS (SELECT 1 FROM hot WHERE hot.suppkey = s.s_suppkey)
+ORDER BY s_name
+""",
+    description="TPC-H Q20 (promotable suppliers) adapted to this schema: "
+    "a supplier qualifies when, for some SMALL part it ships, its 1998 "
+    "quantity exceeds half its all-time quantity for that part — the "
+    "correlated availability subquery becomes two conditional sums in ONE "
+    "grouped pass (no self-join), and the EXISTS collapses to a LEFT SEMI "
+    "join against the qualifying-supplier set, nation filter broadcast. "
+    "Exact decimal quantity sums make the 2x comparison "
+    "partitioning-independent.",
+)
+def q_tpch_q20_promotable_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    )
+    qty = _dec(F.col("l_quantity"))
+    q98 = F.sum(
+        F.when(F.year("l_shipdate") == 1998, qty).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    )
+    pq = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            "l_partkey",
+        )
+        .agg(q98.alias("q98"), F.sum(qty).alias("qall"))
+    )
+    hot = (
+        pq.filter(F.col("q98") * 2 > F.col("qall"))
+        .select("suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4", "NATION_5")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(hot, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
