@@ -2922,21 +2922,14 @@ BLOOM_K = 5  # hash functions (double hashing: h1 + j*h2)
 _DEDUP_KEY_LEN = 32  # dedup key = first 32 chars (collision-rich on purpose)
 
 
-def _bloom_hashes_sql(dialect: str) -> str:
-    """h1/h2 from two md5 halves — 48-bit positive ints, identical in both
-    engines (Spark `conv(hex,16,10)`, DuckDB `'0x…'::BIGINT`)."""
+def _bloom_hashes_sql() -> str:
+    """Oracle-side keyed scan: h1/h2 from two md5 halves — 48-bit positive
+    ints, identical to the Spark builder's `conv(hex,16,10)` expressions."""
     key = f"substr(text, 1, {_DEDUP_KEY_LEN})"
-    if dialect == "duckdb":
-        return (
-            f"SELECT doc_id, source, {key} AS k, "
-            f"CAST('0x' || substr(md5({key}), 1, 12) AS BIGINT) AS h1, "
-            f"CAST('0x' || substr(md5({key}), 13, 12) AS BIGINT) AS h2 "
-            "FROM documents"
-        )
     return (
         f"SELECT doc_id, source, {key} AS k, "
-        f"CAST(conv(substr(md5({key}), 1, 12), 16, 10) AS BIGINT) AS h1, "
-        f"CAST(conv(substr(md5({key}), 13, 12), 16, 10) AS BIGINT) AS h2 "
+        f"CAST('0x' || substr(md5({key}), 1, 12) AS BIGINT) AS h1, "
+        f"CAST('0x' || substr(md5({key}), 13, 12) AS BIGINT) AS h2 "
         "FROM documents"
     )
 
@@ -2944,7 +2937,7 @@ def _bloom_hashes_sql(dialect: str) -> str:
 @register(
     "incremental_dedup_bloom",
     oracle=f"""
-WITH keyed AS ({_bloom_hashes_sql("duckdb")}),
+WITH keyed AS ({_bloom_hashes_sql()}),
 corpus AS (SELECT * FROM keyed WHERE source <> 'src0'),
 batch  AS (SELECT * FROM keyed WHERE source = 'src0'),
 js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
@@ -2987,8 +2980,21 @@ FROM batch b JOIN bloom bl USING (doc_id)
     "prefix keys are deliberately collision-rich in the test corpus).",
 )
 def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    keyed = spark.sql(_bloom_hashes_sql("spark"))
+    # no temp view (the driver's session may register its own `documents`
+    # view — clobbering it from a query builder would be a side effect):
+    # the same hash expressions, selected straight off the frame
+    key = f"substr(text, 1, {_DEDUP_KEY_LEN})"
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"{key} AS k"),
+        F.expr(
+            f"CAST(conv(substr(md5({key}), 1, 12), 16, 10) AS BIGINT) AS h1"
+        ),
+        F.expr(
+            f"CAST(conv(substr(md5({key}), 13, 12), 16, 10) AS BIGINT) AS h2"
+        ),
+    )
     corpus = keyed.filter(F.col("source") != "src0")
     batch = keyed.filter(F.col("source") == "src0")
     js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
