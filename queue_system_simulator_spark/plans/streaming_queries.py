@@ -329,3 +329,91 @@ FROM events
 def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
     return run_available_now(streaming_rate_limiter(stream), output_mode="append")
+
+
+@register(
+    "streaming_join_then_window",
+    oracle="""
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+mx AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c)) AS wm),
+j AS (
+  SELECT p.ts AS p_ts, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+)
+SELECT (epoch_us(p_ts) // 60000000) * 60 AS window_start_s,
+       count(*) AS n_pairs,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+FROM j CROSS JOIN mx
+WHERE (epoch_us(p_ts) // 60000000) * 60 + 60
+      <= epoch_us(wm) // 1000000 - 120
+GROUP BY 1
+""",
+    description="CHAINED stateful streaming operators (Spark 3.5+ "
+    "multi-stateful support): a watermarked stream-stream interval join "
+    "(purchases x preceding clicks) feeds a downstream tumbling-window "
+    "aggregation in ONE streaming query — two state stores, one global "
+    "watermark. Append mode only emits windows the watermark has closed, "
+    "so engine and oracle both evaluate the stable region (window end <= "
+    "final global watermark - delay - slack), exactly the always-emitted "
+    "set; a continuously-running deployment has no such tail. Integer "
+    "microsecond gaps keep the window sums exact across engines.",
+)
+def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    purch = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purch.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 10 minutes"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "p_ts",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    agg = (
+        joined.groupBy(F.window("p_ts", "60 seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+        .select(
+            F.expr("unix_micros(window.start) div 1000000").alias(
+                "window_start_s"
+            ),
+            "n_pairs",
+            "sum_gap_us",
+        )
+    )
+    drained = run_available_now(agg, output_mode="append")
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("wm")
+    ).select(F.expr("unix_micros(wm) div 1000000").alias("wm_s"))
+    return (
+        drained.crossJoin(F.broadcast(mx))
+        .filter(F.col("window_start_s") + 60 <= F.col("wm_s") - 120)
+        .drop("wm_s")
+    )

@@ -297,3 +297,15 @@ def test_foreach_batch_idempotent_upsert_sink(spark, sf_dir, tmp_path):
     )
     assert per_batch[seen[0]] == 37
     assert replayed.select("event_id", "batch_id").distinct().count() == replayed.count()
+
+
+def test_join_then_window_chained_state(spark, sf_dir):
+    """Two stateful operators (stream-stream join -> window agg) in one
+    streaming query; emitted windows carry positive pair counts and
+    non-negative gap sums (clicks precede purchases by construction)."""
+    from queue_system_simulator_spark.plans import QUERIES
+
+    rows = QUERIES["streaming_join_then_window"].build(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_pairs > 0
+        assert r.sum_gap_us >= 0
