@@ -3595,3 +3595,161 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         F.round(F.count(F.lit(1)) / float(IVF_TOPK), 6).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup: new batch probes the corpus LSH index
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_minhash_candidates",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+bands AS (
+  SELECT s.doc_id, src.source, s.seed // {BAND_SIZE} AS band,
+         md5(string_agg(s.minhash, ',' ORDER BY s.seed)) AS band_key
+  FROM sig s JOIN src ON s.doc_id = src.doc_id
+  GROUP BY s.doc_id, src.source, s.seed // {BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS corpus_doc
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.band_key = o.band_key
+  WHERE n.source = 'src0' AND o.source <> 'src0'
+),
+est AS (
+  SELECT c.new_doc, c.corpus_doc,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.new_doc
+  JOIN sig sb ON sb.doc_id = c.corpus_doc AND sb.seed = sa.seed
+  GROUP BY c.new_doc, c.corpus_doc
+)
+SELECT new_doc, corpus_doc, CAST(n_match AS BIGINT) AS n_match,
+       round(CAST(n_match AS DOUBLE) / {NUM_MINHASH}, 6) AS jaccard_est
+FROM est
+""",
+    description="Incremental near-dup ingest: the new batch (source "
+    "'src0') probes the EXISTING corpus's LSH band index — candidates "
+    "only across the batch/corpus boundary, never batch x batch or "
+    "corpus x corpus. This is the daily-crawl shape at 100 TB: corpus "
+    "band keys are a stored index (written once by minhash_lsh_pairs' "
+    "band stage, bucketed by band_key); each new batch computes its own "
+    "signatures (one pass over the BATCH only) and bucket-joins, so "
+    "ingest cost scales with the batch, not the corpus. Signature "
+    "agreement re-scored on the wide frames for the candidates only.",
+)
+def q_incremental_minhash_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    wide = _minhash_wide(spark, sf_dir).join(src, "doc_id").cache()
+    n_bands = NUM_MINHASH // BAND_SIZE
+
+    def band_key(b: int):
+        cols = [
+            F.col(f"mh_{s}") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+        ]
+        return F.md5(F.concat_ws(",", *cols))
+
+    bands = wide.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("band_key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "source", "bk.band", "bk.band_key")
+    new_b = bands.filter(F.col("source") == "src0")
+    corp_b = bands.filter(F.col("source") != "src0")
+    cand = (
+        new_b.alias("n")
+        .join(
+            corp_b.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sa = wide.select(
+        F.col("doc_id").alias("new_doc"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(NUM_MINHASH)],
+    )
+    sb = wide.select(
+        F.col("doc_id").alias("corpus_doc"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(NUM_MINHASH)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        for s in range(NUM_MINHASH)
+    ).cast("long")
+    return (
+        cand.join(F.broadcast(sa), "new_doc")
+        .join(F.broadcast(sb), "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            n_match.alias("n_match"),
+            F.round(n_match.cast("double") / NUM_MINHASH, 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source quality normalization (domain-fair threshold)
+# --------------------------------------------------------------------------
+
+from queue_system_simulator_spark.plans.registry import QUERIES as _REGISTRY
+
+
+@register(
+    "quality_rank_by_source",
+    oracle=f"""
+WITH q AS ({_REGISTRY["doc_quality_score"].oracle}),
+s AS (SELECT doc_id, source FROM documents)
+SELECT q.doc_id, s.source, q.quality_score,
+       round(percent_rank() OVER (PARTITION BY s.source
+             ORDER BY q.quality_score, q.doc_id), 6) AS pct_rank,
+       percent_rank() OVER (PARTITION BY s.source
+             ORDER BY q.quality_score, q.doc_id) >= 0.2 AS keep
+FROM q JOIN s ON q.doc_id = s.doc_id
+""",
+    description="Per-source quality normalization: percent_rank of the "
+    "composite quality score WITHIN each source, keeping the top 80% per "
+    "source — thresholding on a per-domain rank (not a global constant) "
+    "is how curation pipelines avoid starving whole domains whose score "
+    "distributions sit lower. Window is partitioned by source, so rank "
+    "state shards across the cluster; ties broken by doc_id for a "
+    "deterministic rank on any engine or partitioning.",
+)
+def q_quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    score = q_doc_quality_score(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        score.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.round(pr, 6).alias("pct_rank"),
+            (pr >= 0.2).alias("keep"),
+        )
+    )

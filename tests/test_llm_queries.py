@@ -426,3 +426,50 @@ def test_ivf_recall_between_zero_and_one(spark, sf_dir):
     row = QUERIES["ivf_recall_at_k"].build(spark, sf_dir).first()
     assert 0 <= row.n_overlap <= row.k
     assert abs(row.recall_at_k - round(row.n_overlap / row.k, 6)) < 1e-9
+
+
+def test_incremental_candidates_cross_boundary_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    res = QUERIES["incremental_minhash_candidates"].build(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = (
+        res.join(
+            src.withColumnRenamed("doc_id", "new_doc").withColumnRenamed(
+                "source", "new_src"
+            ),
+            "new_doc",
+        ).join(
+            src.withColumnRenamed("doc_id", "corpus_doc").withColumnRenamed(
+                "source", "corpus_src"
+            ),
+            "corpus_doc",
+        )
+    )
+    bad = joined.filter(
+        (F.col("new_src") != "src0") | (F.col("corpus_src") == "src0")
+    ).count()
+    assert bad == 0
+
+
+def test_quality_rank_keeps_top_share_per_source(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["quality_rank_by_source"].build(spark, sf_dir).cache()
+    per_src = (
+        res.groupBy("source")
+        .agg(
+            F.avg(F.col("keep").cast("double")).alias("frac"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in per_src:
+        if r.n >= 10:
+            assert 0.6 <= r.frac <= 0.95
+    # the worst doc per source is never kept (rank 0 < 0.2)
+    worst = res.filter((F.col("pct_rank") == 0.0) & F.col("keep")).count()
+    assert worst == 0
+    res.unpersist()
