@@ -3753,3 +3753,66 @@ def q_quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pr >= 0.2).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary encode: corpus-ranked token ids (tokenizer apply stage)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vocab_encode_ids",
+    oracle="""
+WITH tok AS (
+  SELECT d.doc_id, s.i AS i, t.tokens[s.i] AS g
+  FROM documents d,
+       LATERAL (SELECT string_split(d.text, ' ') AS tokens) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.tokens))) AS i) s
+),
+vocab AS (
+  SELECT g, row_number() OVER (ORDER BY c DESC, g) AS id
+  FROM (SELECT g, count(*) AS c FROM tok GROUP BY g)
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY tok.i) AS ids_str
+FROM tok JOIN vocab v ON tok.g = v.g
+GROUP BY tok.doc_id
+""",
+    description="Tokenizer APPLY stage: rank the corpus vocabulary by "
+    "frequency (ties lexicographic — the id table every trained tokenizer "
+    "ships), broadcast it, and encode every document to its id sequence "
+    "in token order. The vocab is a frequency aggregation (vocab-sized "
+    "shuffle, tiny); the encode join is map-side broadcast, so encoding "
+    "throughput scales linearly with corpus bytes — the exact shape of "
+    "tokenizing 100 TB for pretraining. Output pinned as the "
+    "space-joined id string so order survives the hash gate.",
+)
+def q_vocab_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("i0", "g"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    )
+    from pyspark.sql.window import Window
+
+    vocab = (
+        tok.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("c"), "g")),
+        )
+        .select("g", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "g")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "id"))),
+                lambda s: s["id"].cast("string"),
+            ),
+            " ",
+        ).alias("ids_str"),
+    )

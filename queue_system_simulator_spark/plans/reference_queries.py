@@ -994,3 +994,47 @@ def q_pyds_request_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("request_time") - epoch_ms).alias("offset_ms"),
         "processing_time",
     )
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_centi
+FROM orders
+GROUP BY o_orderstatus
+""",
+    description="ORC sink/source round-trip as a graded query (the second "
+    "columnar format Spark ships natively): orders written as "
+    "zlib-compressed ORC partitioned by order status, read back through "
+    "the ORC reader (predicate pushdown and column pruning work the same "
+    "as parquet), and aggregated; the oracle aggregates the ORIGINAL "
+    "table, so any row lost/duplicated/coerced by the format hop breaks "
+    "the hash. Integer centi-money keeps it exact.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="qss_orc_rt_")
+    (
+        orders.write.mode("overwrite")
+        .option("compression", "zlib")
+        .partitionBy("o_orderstatus")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_centi"
+        ),
+    )

@@ -473,3 +473,24 @@ def test_quality_rank_keeps_top_share_per_source(spark, sf_dir):
     worst = res.filter((F.col("pct_rank") == 0.0) & F.col("keep")).count()
     assert worst == 0
     res.unpersist()
+
+
+def test_vocab_encode_preserves_token_order_and_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    res = QUERIES["vocab_encode_ids"].build(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("want")
+    )
+    mism = (
+        res.join(docs, "doc_id")
+        .filter(
+            (F.col("n_tokens") != F.col("want"))
+            | (F.size(F.split("ids_str", " ")) != F.col("want"))
+        )
+        .count()
+    )
+    assert mism == 0
+    res.unpersist()
