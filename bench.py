@@ -111,6 +111,19 @@ HEADLINE = [
     "dsir_importance_weights",
     "fuzzy_edit_dedup_pairs",
     "ppl_quantile_filter",
+    # round-3 second batch (streaming_join_then_window excluded like the
+    # other chained-stateful paths: ~10 s of fixed micro-batch machinery
+    # at sf0.1 would drown the suite signal; it is oracle-gated instead)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotable_suppliers",
+    "embed_sq8_quantize",
+    "ivf_recall_at_k",
+    "incremental_minhash_candidates",
+    "quality_rank_by_source",
+    "vocab_encode_ids",
+    "orc_roundtrip",
+    "bpe_merge_training",
 ]
 
 

@@ -23,11 +23,13 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: surface + the five hash-graded kernel oracles + the newly-gradeable
 #: generator), and spend the other 30 slots on queries never yet graded by
 #: the driver — all 8 remaining streaming queries, the iterative/graph/
-#: clustering flagships, the remaining multimodal paths, and the 12 most
-#: pattern-distinct ungraded TPC-H adaptations.  Everything rotated OUT
-#: was driver-green in round 1 or 2 (CORRECTNESS_r01/r02) and stays
-#: registered + locally gated (tools/check_oracle.py); cumulative
-#: driver-graded coverage after this window: ~94/140.
+#: clustering flagships, the remaining multimodal paths, the 6 most
+#: pattern-distinct ungraded TPC-H adaptations, and one representative of
+#: each round-3 operator family with no graded sibling (Bloom dedup, BPE
+#: training, DSIR, Z-order).  Everything rotated OUT was driver-green in
+#: round 1 or 2 (CORRECTNESS_r01/r02) and stays registered + locally
+#: gated (tools/check_oracle.py); cumulative driver-graded coverage after
+#: this window: ~95/170.
 DRIVER_WINDOW = [
     # --- §2 anchors: reference operator surface (A–D, G) ---
     "ingest_requests",
