@@ -1298,3 +1298,62 @@ def q_zorder_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").alias("sec_hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate query processing: deterministic-sample estimates vs exact
+# --------------------------------------------------------------------------
+
+_AQP_NIBBLE = 2  # sample rate = 2/16 = 1/8, scale-up factor 8
+
+
+@register(
+    "sampled_count_estimate",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type FROM events
+  WHERE strpos('0123456789abcdef',
+               substr(md5('aqp|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1
+        < {_AQP_NIBBLE}
+),
+est AS (
+  SELECT event_type, count(*) * {16 // _AQP_NIBBLE} AS est_n
+  FROM s GROUP BY event_type
+),
+ex AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY event_type)
+SELECT ex.event_type, ex.exact_n, coalesce(est.est_n, 0) AS est_n,
+       round(CAST(abs(coalesce(est.est_n, 0) - ex.exact_n) AS DOUBLE)
+             / ex.exact_n, 6) AS rel_err
+FROM ex LEFT JOIN est USING (event_type)
+""",
+    description="Approximate query processing: group counts estimated from "
+    f"a deterministic 1/{16 // _AQP_NIBBLE} hash-sample (md5 nibble of the "
+    "row key — reproducible across engines, runs and partitionings, unlike "
+    "TABLESAMPLE) scaled by the inverse rate, reported next to the exact "
+    "counts with relative error. The pattern for interactive dashboards "
+    "over 100 TB: the sample predicate is map-side and combines with "
+    "partition pruning, so estimate cost is rate-proportional; the exact "
+    "twin here exists only to grade the estimator.",
+)
+def q_sampled_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    nib = F.expr(
+        "instr('0123456789abcdef', "
+        "substr(md5(concat('aqp|', CAST(event_id AS STRING))), 1, 1)) - 1"
+    )
+    est = (
+        ev.filter(nib < _AQP_NIBBLE)
+        .groupBy("event_type")
+        .agg((F.count(F.lit(1)) * (16 // _AQP_NIBBLE)).alias("est_n"))
+    )
+    ex = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    est_n = F.coalesce(F.col("est_n"), F.lit(0).cast("long"))
+    return ex.join(est, "event_type", "left").select(
+        "event_type",
+        "exact_n",
+        est_n.alias("est_n"),
+        F.round(
+            F.abs(est_n - F.col("exact_n")).cast("double") / F.col("exact_n"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -494,3 +494,16 @@ def test_vocab_encode_preserves_token_order_and_count(spark, sf_dir):
     )
     assert mism == 0
     res.unpersist()
+
+
+def test_sampled_estimate_within_sane_error(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["sampled_count_estimate"].build(spark, sf_dir).collect()
+    assert len(res) > 0
+    for r in res:
+        # 1/8 hash-sample on groups of this size: generous bound, the point
+        # is the estimator is wired up, deterministic, and non-degenerate
+        if r.exact_n >= 100:
+            assert r.rel_err < 0.5
+        assert r.est_n % 8 == 0
