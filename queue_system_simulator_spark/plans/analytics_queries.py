@@ -1357,3 +1357,54 @@ def q_sampled_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "udtf_event_run_lengths",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM events
+),
+g AS (
+  SELECT user_id, event_type, tus,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY tus, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY tus, event_id) AS grp
+  FROM e
+)
+SELECT user_id, event_type,
+       count(*) AS run_len,
+       CAST(min(tus) AS BIGINT) AS run_start_us
+FROM g GROUP BY user_id, event_type, grp
+""",
+    description="Python UDTF surface (Spark 4 user-defined TABLE "
+    "function): run-length encoding of each user's event stream via "
+    "`SELECT * FROM rle(TABLE(...) PARTITION BY user_id ORDER BY ...)` — "
+    "one UDTF instance per user partition, rows fed in event order, "
+    "terminate() flushes the tail run. Graded against the relational "
+    "gaps-and-islands formulation (double row_number difference), proving "
+    "the sequential scan and the window algebra agree. Parallelism is "
+    "per-user — the same axis the DES kernel shards on; completes the "
+    "UDF/UDAF/UDTF trio of SURVEY §2.G.",
+)
+def q_udtf_event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.functions.udtfs import RunLengthEncode
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+    )
+    ev.createOrReplaceTempView("udtf_rle_events")
+    spark.udtf.register("qss_rle_runs", RunLengthEncode)
+    return spark.sql(
+        """
+        SELECT * FROM qss_rle_runs(
+          TABLE(SELECT user_id, event_type, tus, event_id
+                FROM udtf_rle_events)
+          PARTITION BY user_id ORDER BY (tus, event_id)
+        )
+        """
+    )

@@ -507,3 +507,27 @@ def test_sampled_estimate_within_sane_error(spark, sf_dir):
         if r.exact_n >= 100:
             assert r.rel_err < 0.5
         assert r.est_n % 8 == 0
+
+
+def test_udtf_run_lengths_conserve_events(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    res = QUERIES["udtf_event_run_lengths"].build(spark, sf_dir)
+    per_user = res.groupBy("user_id").agg(F.sum("run_len").alias("n"))
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("want"))
+    )
+    bad = (
+        per_user.join(want, "user_id", "full")
+        .filter(
+            F.col("n").isNull()
+            | F.col("want").isNull()
+            | (F.col("n") != F.col("want"))
+        )
+        .count()
+    )
+    assert bad == 0
