@@ -309,3 +309,52 @@ def test_join_then_window_chained_state(spark, sf_dir):
     for r in rows:
         assert r.n_pairs > 0
         assert r.sum_gap_us >= 0
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Stop/restart contract: a second AvailableNow run against the SAME
+    checkpoint processes only files that arrived since, and a rerun with
+    no new data emits nothing — no loss, no duplicates (source offset log
+    + sink commit log)."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    total = ev.count()
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "h0")
+    )
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "h1")
+    )
+    schema = spark.read.parquet(str(tmp_path / "h0")).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in (tmp_path / "h0").glob("*.parquet"):
+        shutil.copy(f, src / "arrived0.parquet")
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < total
+
+    for f in (tmp_path / "h1").glob("*.parquet"):
+        shutil.copy(f, src / "arrived1.parquet")
+    drain()  # restart from checkpoint: must pick up ONLY the new file
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    assert back.select("event_id").distinct().count() == total
+
+    drain()  # third run, no new data: nothing re-emitted
+    assert spark.read.parquet(out).count() == total
