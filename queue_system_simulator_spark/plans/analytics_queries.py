@@ -1408,3 +1408,55 @@ def q_udtf_event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=f"""
+SELECT epoch_us(ts) // {_DAY_US} AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi
+FROM events
+GROUP BY 1, 2
+""",
+    description="Incremental ETL: the daily rollup is maintained by "
+    "MERGING a stored base aggregate (events before the 80% time cutoff — "
+    "standing in for yesterday's materialized table) with a delta "
+    "aggregate over only the new slice, then re-reducing on the group "
+    "keys. The oracle is the FULL recompute, so the hash proves the "
+    "merge is lossless — the mergeable-partial-aggregate property "
+    "(count/sum here; sketches for distinct) that lets a 100 TB pipeline "
+    "touch only the new partition each day instead of rescanning history. "
+    "Integer centi-money keeps partials exact under any merge order.",
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("centi"),
+    )
+    bounds = ev.agg(F.min("tus").alias("lo"), F.max("tus").alias("hi"))
+    cut = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_delta",
+        F.col("tus") >= F.col("lo") + ((F.col("hi") - F.col("lo")) * 4) / 5,
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.expr(f"tus div {_DAY_US}").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("centi").alias("sum_centi")
+        )
+
+    base = rollup(cut.filter(~F.col("is_delta")))  # the "stored" table
+    delta = rollup(cut.filter(F.col("is_delta")))  # only the new slice
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"), F.sum("sum_centi").alias("sum_centi")
+        )
+    )

@@ -531,3 +531,26 @@ def test_udtf_run_lengths_conserve_events(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    merged = QUERIES["incremental_rollup_merge"].build(spark, sf_dir)
+    full = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_centi"
+            ),
+        )
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
