@@ -1038,3 +1038,65 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_centi"
         ),
     )
+
+
+@register(
+    "pyds_request_log_stream",
+    oracle=f"""
+WITH ids AS (
+  SELECT u.u AS u, i.i AS i
+  FROM (SELECT unnest(generate_series(0, 49)) AS u) u,
+       (SELECT unnest(generate_series(0, 19)) AS i) i
+), base AS (
+  SELECT u, i,
+         {_pyds_u32("gap")} % 901 + 100 AS gap_ms,
+         {_pyds_u32("proc")} % 91 + 10 AS proc_ds
+  FROM ids
+)
+SELECT concat('user_', CAST(u AS VARCHAR)) AS user_id,
+       CAST(SUM(gap_ms) OVER (PARTITION BY u ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS offset_ms,
+       proc_ds / 10.0 AS processing_time
+FROM base
+""",
+    description="§2 A source-extension surface, STREAMING twin: the same "
+    "custom Python data source consumed as readStream (Spark 4 "
+    "DataSourceStreamReader — row-index offsets, per-user partitions per "
+    "micro-batch, replay-safe reads), drained with AvailableNow and "
+    "graded against the SAME oracle as the batch source (a live run "
+    "triggers per offset advance; reads recompute from row 0 so batch "
+    "boundaries cannot change a value — pinned by the slice test in "
+    "tests/test_sources.py). This is the contract for "
+    "plugging a bespoke feed (queue snapshot service, internal log API) "
+    "into Structured Streaming.",
+)
+def q_pyds_request_log_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.shipping import ensure_shipped
+    from queue_system_simulator_spark.sources.pyds_request_log import (
+        RequestLogDataSource,
+    )
+    from queue_system_simulator_spark.streaming.stream import run_available_now
+
+    ensure_shipped(spark)
+    try:
+        spark.dataSource.register(RequestLogDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("request_log")
+        .option("users", 50)
+        .option("requests", 20)
+        .option("seed", 42)
+        .option("rows_per_batch", 7)
+        .load()
+    )
+    epoch_ms = F.unix_millis(
+        F.lit("2023-01-01T00:00:00+00:00").cast("timestamp")
+    )
+    out = stream.select(
+        "user_id",
+        (F.unix_millis("request_time") - epoch_ms).alias("offset_ms"),
+        "processing_time",
+    )
+    return run_available_now(out, output_mode="append")

@@ -35,7 +35,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EPOCH = datetime(2023, 1, 1, tzinfo=timezone.utc)
 
@@ -80,6 +85,67 @@ class RequestLogReader(DataSourceReader):
             )
 
 
+class _StreamSlice(InputPartition):
+    def __init__(self, user: int, row0: int, row1: int, seed: int):
+        self.user = user
+        self.row0 = row0
+        self.row1 = row1
+        self.seed = seed
+
+
+class RequestLogStreamReader(DataSourceStreamReader):
+    """Micro-batched twin of ``RequestLogReader``.
+
+    The offset is a plain row index into each user's deterministic request
+    stream; every trigger advances it by ``rows_per_batch``.  partitions()
+    still shards per user, so each micro-batch runs one task per user —
+    the same horizontal axis as the batch source.  Rows are identical to
+    the batch source for any batching/retry/replay: arrival accumulation
+    restarts from row 0 inside read(), so a slice's values never depend on
+    which micro-batch produced it (exactly-once replay safety).
+    """
+
+    def __init__(self, options):
+        self.users = int(options.get("users", 5))
+        self.requests = int(options.get("requests", 5))
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rows_per_batch", 7))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def latestOffset(self):
+        # the generator is finite: everything is available immediately; a
+        # live system would return its current high-watermark here
+        return {"row": self.requests}
+
+    def partitions(self, start, end):
+        r0, r1 = int(start["row"]), int(end["row"])
+        return [
+            _StreamSlice(u, r0, r1, self.seed) for u in range(self.users)
+        ]
+
+    def read(self, partition: _StreamSlice):
+        import hashlib
+
+        def u32(tag: str, i: int) -> int:
+            key = f"pyds|{partition.seed}|{partition.user}|{i}|{tag}"
+            return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+        t = _EPOCH
+        for i in range(partition.row1):
+            t = t + timedelta(milliseconds=u32("gap", i) % 901 + 100)
+            if i >= partition.row0:
+                yield (
+                    f"user_{partition.user}",
+                    t.replace(tzinfo=None),
+                    (u32("proc", i) % 91 + 10) / 10.0,
+                )
+
+    def commit(self, end):
+        pass
+
+
 class RequestLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -90,3 +156,6 @@ class RequestLogDataSource(DataSource):
 
     def reader(self, schema) -> RequestLogReader:
         return RequestLogReader(self.options)
+
+    def streamReader(self, schema) -> RequestLogStreamReader:
+        return RequestLogStreamReader(self.options)

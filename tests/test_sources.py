@@ -297,3 +297,24 @@ class TestJsonlSource:
         assert not any(
             "c.jsonl" in str(r) for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
         )
+
+
+def test_pyds_stream_slices_are_batching_invariant():
+    """Reading [0,20) in one slice must equal [0,7)+[7,14)+[14,20): the
+    replay-safety contract that makes the streaming source exactly-once
+    under any micro-batch plan."""
+    from queue_system_simulator_spark.sources.pyds_request_log import (
+        RequestLogStreamReader,
+        _StreamSlice,
+    )
+
+    r = RequestLogStreamReader({"users": 3, "requests": 20, "seed": 42})
+    whole = list(r.read(_StreamSlice(1, 0, 20, 42)))
+    parts = []
+    for a, b in [(0, 7), (7, 14), (14, 20)]:
+        parts.extend(r.read(_StreamSlice(1, a, b, 42)))
+    assert whole == parts
+    # offsets API: initial -> latest covers exactly the row space
+    assert r.initialOffset() == {"row": 0}
+    assert r.latestOffset() == {"row": 20}
+    assert len(r.partitions({"row": 0}, {"row": 20})) == 3  # one per user
