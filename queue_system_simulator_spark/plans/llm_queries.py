@@ -3816,3 +3816,74 @@ def q_vocab_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("ids_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-sketch evaluation: LSH candidate recall/precision vs exact Jaccard
+# --------------------------------------------------------------------------
+
+LSH_EVAL_TAU = 0.5  # "true near-dup" = exact shingle Jaccard >= this
+
+
+@register(
+    "lsh_recall_eval",
+    oracle=f"""
+WITH truth AS (
+  SELECT doc_a, doc_b
+  FROM ({_REGISTRY["ngram_jaccard_pairs"].oracle}) t
+  WHERE jaccard >= {LSH_EVAL_TAU}
+),
+cand AS (
+  SELECT doc_a, doc_b FROM ({_REGISTRY["minhash_lsh_pairs"].oracle}) c
+),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / greatest((SELECT count(*) FROM cand), 1), 6) AS precision
+""",
+    description="Dedup-sketch quality evaluation: recall and precision of "
+    "the MinHash-LSH candidate set against exact shingle-Jaccard truth at "
+    f"tau={LSH_EVAL_TAU} — the measured tradeoff (16 hashes, 4 bands x 4 "
+    "rows: theory gives P(candidate)=1-(1-s^4)^4) that sizes bands/rows "
+    "before running dedup on 100 TB. Composes the engine's own "
+    "ngram_jaccard_pairs and minhash_lsh_pairs plans; the comparison "
+    "itself is set algebra over two tiny pair lists. The same harness "
+    "re-runs per (bands, rows) configuration to pick the operating point.",
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each pair frame feeds two branches (its count + the intersection):
+    # cache so the expensive posting-list / band-join lineage runs once
+    truth = (
+        q_ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= LSH_EVAL_TAU)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    cand = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    hit = truth.intersect(cand)
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )

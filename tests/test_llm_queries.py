@@ -554,3 +554,9 @@ def test_incremental_rollup_merge_equals_full_recompute(spark, sf_dir):
     )
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_lsh_recall_eval_metrics_are_consistent(spark, sf_dir):
+    row = QUERIES["lsh_recall_eval"].build(spark, sf_dir).first()
+    assert 0 <= row.n_hit <= min(row.n_true, row.n_candidates)
+    assert 0.0 <= row.recall <= 1.0 and 0.0 <= row.precision <= 1.0
