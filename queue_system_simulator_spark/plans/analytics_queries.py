@@ -1460,3 +1460,60 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n"), F.sum("sum_centi").alias("sum_centi")
         )
     )
+
+
+@register(
+    "map_functions_showcase",
+    oracle="""
+SELECT user_id, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi
+FROM events
+GROUP BY user_id, event_type
+HAVING count(*) >= 2
+""",
+    description="MapType higher-order surface (§2.G, the map sibling of "
+    "array_functions_showcase): per-user maps built with map_from_entries "
+    "over collected (event_type, agg) structs, fused with map_zip_with, "
+    "pruned with map_filter, and exploded back to rows — all JVM-side "
+    "lambda expressions, zero Python. The oracle states the same "
+    "semantics relationally (grouped HAVING), proving the map algebra "
+    "reduces to the plain aggregation it should. Maps stay per-user "
+    "sized (bounded by the event-type domain), never corpus-wide.",
+)
+def q_map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("centi"),
+        )
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m_n"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "centi"))
+        ).alias("m_c"),
+    )
+    fused = maps.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                "m_n",
+                "m_c",
+                lambda _k, n, c: F.struct(n.alias("n"), c.alias("c")),
+            ),
+            lambda _k, v: v["n"] >= 2,
+        ).alias("m"),
+    )
+    return fused.select(
+        "user_id", F.explode("m").alias("event_type", "v")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("v.n").alias("n"),
+        F.col("v.c").alias("sum_centi"),
+    )
