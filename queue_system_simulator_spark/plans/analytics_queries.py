@@ -1517,3 +1517,83 @@ def q_map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.n").alias("n"),
         F.col("v.c").alias("sum_centi"),
     )
+
+
+@register(
+    "seasonal_naive_forecast_eval",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS tus,
+         (epoch_us(ts) // {_HOUR_US}) % 24 AS hod,
+         CAST(round(value * 100) AS BIGINT) AS centi
+  FROM events
+),
+b AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+s AS (
+  SELECT e.*, e.tus >= b.lo + ((b.hi - b.lo) * 4) // 5 AS is_test
+  FROM e, b
+),
+model AS (
+  -- sign-robust floor division (Spark div truncates, // floors; strip a
+  -- non-negative remainder first so both engines agree for ANY value sign)
+  SELECT event_type, hod,
+         CAST((sum(centi) - ((sum(centi) % count(*) + count(*)) % count(*)))
+              // count(*) AS BIGINT) AS pred_centi
+  FROM s WHERE NOT is_test GROUP BY event_type, hod
+)
+SELECT t.event_type,
+       count(*) AS n_test,
+       CAST(sum(abs(t.centi - m.pred_centi)) AS BIGINT) AS sum_abs_err_centi,
+       round(CAST(sum(abs(t.centi - m.pred_centi)) AS DOUBLE)
+             / count(*), 6) AS mae_centi
+FROM s t JOIN model m ON t.event_type = m.event_type AND t.hod = m.hod
+WHERE t.is_test
+GROUP BY t.event_type
+""",
+    description="Forecasting baseline with holdout evaluation: a "
+    "seasonal-naive model (per event_type x hour-of-day mean over the "
+    "first 80% of the time range, floor-integer centi-units so the model "
+    "is engine- and partitioning-exact) scores the held-out 20%, "
+    "reporting per-type MAE — the train/predict/evaluate pipeline shape "
+    "for capacity planning over the event log. The model is a tiny "
+    "broadcastable table (types x 24); scoring is a map-side join, so "
+    "evaluation cost is one pass over the test slice at any scale.",
+)
+def q_seasonal_naive_forecast_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        (F.expr(f"unix_micros(ts) div {_HOUR_US}") % 24).alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("centi"),
+    )
+    b = e.agg(F.min("tus").alias("lo"), F.max("tus").alias("hi"))
+    s = e.crossJoin(F.broadcast(b)).withColumn(
+        "is_test",
+        F.col("tus")
+        >= F.col("lo") + F.expr("((hi - lo) * 4) div 5"),
+    )
+    model = (
+        s.filter(~F.col("is_test"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.expr(
+                "(sum(centi) - ((sum(centi) % count(1) + count(1)) "
+                "% count(1))) div count(1)"
+            ).alias("pred_centi")
+        )
+    )
+    test = s.filter(F.col("is_test"))
+    err = F.abs(F.col("centi") - F.col("pred_centi"))
+    return (
+        test.join(F.broadcast(model), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(err).alias("sum_abs_err_centi"),
+            F.round(
+                F.sum(err).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mae_centi"),
+        )
+    )

@@ -560,3 +560,20 @@ def test_lsh_recall_eval_metrics_are_consistent(spark, sf_dir):
     row = QUERIES["lsh_recall_eval"].build(spark, sf_dir).first()
     assert 0 <= row.n_hit <= min(row.n_true, row.n_candidates)
     assert 0.0 <= row.recall <= 1.0 and 0.0 <= row.precision <= 1.0
+
+
+def test_forecast_eval_floor_division_is_sign_robust(spark):
+    """The model's floor division must match Python floor semantics for
+    negative sums too (testdata regenerates each round; value sign is not
+    guaranteed)."""
+    df = spark.createDataFrame(
+        [(-7, 3), (7, 3), (-6, 3), (0, 3)], "s long, n long"
+    )
+    got = {
+        (r.s, r.n): r.p
+        for r in df.selectExpr(
+            "s", "n", "(s - ((s % n + n) % n)) div n AS p"
+        ).collect()
+    }
+    for (sv, nv), p in got.items():
+        assert p == sv // nv  # Python // is floor division
