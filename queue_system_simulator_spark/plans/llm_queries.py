@@ -21,7 +21,10 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from queue_system_simulator_spark.plans.registry import register
+from queue_system_simulator_spark.plans.registry import (
+    QUERIES as _REGISTRY,
+    register,
+)
 from queue_system_simulator_spark.schema import load_table
 from queue_system_simulator_spark.operators.transforms import spread
 
@@ -3712,8 +3715,6 @@ def q_incremental_minhash_candidates(
 # --------------------------------------------------------------------------
 # Per-source quality normalization (domain-fair threshold)
 # --------------------------------------------------------------------------
-
-from queue_system_simulator_spark.plans.registry import QUERIES as _REGISTRY
 
 
 @register(
