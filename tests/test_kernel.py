@@ -265,3 +265,26 @@ class TestParamSweep:
             q1 = by_cell[(1, rpm)].avg_queuing_time
             q4 = by_cell[(4, rpm)].avg_queuing_time
             assert q4 <= q1 + 1e-9  # more workers never increase queuing
+
+
+def test_priority_bias_dequeue_frequency():
+    """E2 distribution-level check (the probabilistic path has no SQL
+    oracle by nature — SURVEY quirk 3): with both classes stocked, the
+    biased dequeue must pick the priority class at ~bias rate. 10k draws,
+    bias 0.8 -> binomial sigma ~0.004; +/-0.02 is a 5-sigma band."""
+    import random
+
+    from queue_system_simulator_spark.operators.kernel import (
+        _PriorityStrategy,
+    )
+
+    strat = _PriorityStrategy(
+        threshold=20.0, bias=0.8, rng=random.Random(123)
+    )
+    n, prio_hits = 10_000, 0
+    for i in range(n):
+        strat.enqueue({"processing_time": 1.0, "tag": i})  # priority class
+        strat.enqueue({"processing_time": 99.0, "tag": i})  # normal class
+        item = strat.dequeue()
+        prio_hits += item["processing_time"] == 1.0
+    assert abs(prio_hits / n - 0.8) < 0.02
