@@ -3888,3 +3888,57 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-allocation stratified split (guaranteed per-stratum proportions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stratified_exact_split",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('xsplit|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN rn * 100 <= n * 80 THEN 'train'
+            WHEN rn * 100 <= n * 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+""",
+    description="Exact-allocation stratified split: documents are shuffled "
+    "WITHIN each source by an md5 rank (deterministic, engine-portable) "
+    "and the first 80%/10%/10% of every stratum is assigned by rank "
+    "thresholds in integer arithmetic — unlike the per-row hash split "
+    "(dataset_split), every source is GUARANTEED its exact proportions, "
+    "which is what evaluation-set construction needs when small domains "
+    "must not vanish from val/test by hash luck. Window state shards by "
+    "source; at 100 TB with a giant stratum, swap row_number for the "
+    "distributed rank-selection pattern (fifo_stats_distributed).",
+)
+def q_stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("xsplit|"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    w = Window.partitionBy("source")
+    rn = F.row_number().over(w.orderBy("h", "doc_id"))
+    n = F.count(F.lit(1)).over(w)
+    split = (
+        F.when(rn * 100 <= n * 80, "train")
+        .when(rn * 100 <= n * 90, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))

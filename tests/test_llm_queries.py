@@ -577,3 +577,21 @@ def test_forecast_eval_floor_division_is_sign_robust(spark):
     }
     for (sv, nv), p in got.items():
         assert p == sv // nv  # Python // is floor division
+
+
+def test_stratified_exact_split_guarantees_proportions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["stratified_exact_split"].build(spark, sf_dir)
+    per = (
+        res.groupBy("source")
+        .pivot("split", ["train", "val", "test"])
+        .count()
+        .na.fill(0)
+        .collect()
+    )
+    for r in per:
+        n = r.train + r.val + r.test
+        # exact-allocation contract: rank thresholds floor to the stratum
+        assert r.train == (n * 80) // 100
+        assert r.train + r.val == (n * 90) // 100
