@@ -3942,3 +3942,73 @@ def q_stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", "source", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-space outlier flags (distance-to-centroid vs cluster quantile)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embed_outlier_flags",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS ({_CENTROID_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         round(list_aggregate(list_transform(generate_series(1, CAST(len(e.v) AS INT)),
+               i -> (e.v[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+                  * (e.v[CAST(i AS INT)] - c.c[CAST(i AS INT)])), 'sum'), 6)
+           AS l2
+  FROM e JOIN cent c ON e.label = c.label
+),
+thr AS (
+  SELECT label, round(quantile_cont(l2, 0.9), 6) AS cut
+  FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, d.l2, d.l2 > t.cut AS is_outlier
+FROM d JOIN thr t ON d.label = t.label
+""",
+    description="Embedding-space outlier removal (the geometric cousin of "
+    "perplexity filtering): squared L2 to the own-cluster centroid, "
+    "flagged when above the cluster's exact p90 — a per-cluster adaptive "
+    "threshold, not a global constant, so dense and diffuse clusters are "
+    "cleaned at the same rate. Centroids are the broadcastable IVF model; "
+    "distances are map-side; the quantile is grouped (state shards by "
+    "cluster, the fifo_stats_by_user posture). Distances round to the "
+    "1e-6 parity grid before the quantile so both engines threshold "
+    "identical inputs.",
+)
+def q_embed_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    d = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", l2.alias("l2")
+    )
+    thr = d.groupBy("label").agg(
+        F.round(F.expr("percentile(l2, 0.9)"), 6).alias("cut")
+    )
+    return d.join(F.broadcast(thr), "label").select(
+        "vec_id", "label", "l2", (F.col("l2") > F.col("cut")).alias("is_outlier")
+    )

@@ -595,3 +595,18 @@ def test_stratified_exact_split_guarantees_proportions(spark, sf_dir):
         # exact-allocation contract: rank thresholds floor to the stratum
         assert r.train == (n * 80) // 100
         assert r.train + r.val == (n * 90) // 100
+
+
+def test_embed_outlier_rate_is_per_cluster_adaptive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    res = QUERIES["embed_outlier_flags"].build(spark, sf_dir)
+    per = (
+        res.groupBy("label")
+        .agg(F.avg(F.col("is_outlier").cast("double")).alias("rate"))
+        .collect()
+    )
+    # p90 threshold per cluster: each cluster flags ~10% (interpolation
+    # and ties move the boundary by at most a couple of vectors)
+    for r in per:
+        assert 0.0 <= r.rate <= 0.2
