@@ -133,7 +133,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("bench")
+    # no console progress bars: the driver merges stderr into stdout, and a
+    # progress-bar chunk interleaved mid-line corrupts the final JSON line
+    # (observed in round 3: BENCH_r03 "parsed": null despite rc=0)
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     # warmup: JVM + parquet footers + the Python-UDF worker pool (pandas
     # UDF queries otherwise pay one-time Arrow/worker init on first use)
@@ -187,25 +192,65 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                # the headline list GROWS round over round (40 in r1, 55+
-                # now): compare sec_per_query across rounds, not raw value
-                "n_queries": len([t for t in timings.values() if t > 0]),
-                "sec_per_query": round(
-                    total / max(1, len([t for t in timings.values() if t > 0])), 3
-                ),
-                "runs_per_query": runs,
-                "queries": timings,
-                "query_spread": spreads,
-                "sf": sf,
-            }
-        )
+    n_ok = len([t for t in timings.values() if t > 0])
+
+    # full-precision per-query medians + min/max spreads go to a side file
+    # (committed snapshot for the judge; the stdout line stays compact)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    detail = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": n_ok,
+        "sec_per_query": round(total / max(1, n_ok), 3),
+        "runs_per_query": runs,
+        "queries": timings,
+        "query_spread": spreads,
+        "sf": sf,
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # ONE compact JSON line for the driver.  Keep it under ~1900 bytes: the
+    # largest line the driver ever parsed was 1985 B (r02); round 3's ~8 kB
+    # line (90 queries + spreads) came back "parsed": null.  Per-query
+    # timings are included most-expensive-first until the byte budget is
+    # hit; the full map is always in BENCH_DETAIL.json.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+    line_obj = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        # the headline list GROWS round over round (40 in r1, 90+ now):
+        # compare sec_per_query across rounds, not raw value
+        "n_queries": n_ok,
+        "sec_per_query": round(total / max(1, n_ok), 3),
+        "runs_per_query": runs,
+        "detail": "BENCH_DETAIL.json",
+        "queries": {},
+        "queries_omitted": 0,
+        "sf": sf,
+    }
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    for name, sec in by_cost:
+        line_obj["queries"][name] = round(sec, 2)
+        line_obj["queries_omitted"] = len(timings) - len(line_obj["queries"])
+        if len(json.dumps(line_obj)) > budget:
+            del line_obj["queries"][name]
+            line_obj["queries_omitted"] = len(timings) - len(line_obj["queries"])
+            break
+    line = json.dumps(line_obj)
+
+    # stop Spark and drain stderr BEFORE printing: a concurrently-writing
+    # JVM (progress bars, shutdown logs) can interleave chunks mid-line
+    # when the caller merges the two streams
+    spark.stop()
+    sys.stderr.flush()
+    time.sleep(0.5)
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
