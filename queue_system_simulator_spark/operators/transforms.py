@@ -135,3 +135,20 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """
     slots = max(int(df.sparkSession.sparkContext.defaultParallelism) * factor, 1)
     return df.repartition(slots)
+
+
+def sliding_index_sql(arr: str, width: int) -> str:
+    """SQL snippet: 1-based start positions of ``width``-token sliding
+    windows over array column ``arr`` — EMPTY when the array is shorter
+    than one window.
+
+    The unguarded idiom ``sequence(1, size(a) - w + 1)`` is a trap: Spark's
+    ``sequence(1, n)`` with ``n < 1`` yields a DESCENDING array ([1, 0],
+    [1, 0, -1], ...), so a document shorter than the window crashes
+    ``element_at(_, 0)`` (INVALID_INDEX_OF_ZERO) or silently mis-slices
+    from the array end on negative starts — while the DuckDB oracle's
+    ``generate_series(1, n)`` is empty.  This guard makes both engines
+    agree on short documents.
+    """
+    n = f"size({arr}) - {width - 1}"
+    return f"if({n} >= 1, sequence(1, {n}), array())"

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from queue_system_simulator_spark.plans.registry import register
 from queue_system_simulator_spark.schema import load_table
-from queue_system_simulator_spark.operators.transforms import spread
+from queue_system_simulator_spark.operators.transforms import (
+    sliding_index_sql,
+    spread,
+)
 
 _WEEK_US = 7 * 86_400 * 1_000_000
 
@@ -455,7 +458,7 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = spread(docs).select(F.split("text", " ").alias("toks"))
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+        f"transform({sliding_index_sql('toks', 2)}, "
         "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
     )
     bg = (

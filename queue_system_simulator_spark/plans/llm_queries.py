@@ -26,7 +26,10 @@ from queue_system_simulator_spark.plans.registry import (
     register,
 )
 from queue_system_simulator_spark.schema import load_table
-from queue_system_simulator_spark.operators.transforms import spread
+from queue_system_simulator_spark.operators.transforms import (
+    sliding_index_sql,
+    spread,
+)
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
@@ -248,7 +251,7 @@ def _shingles(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        f"transform({sliding_index_sql('toks', 3)}, "
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
         "element_at(toks, i + 2)))"
     )
@@ -511,7 +514,7 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(toks) - {WINNOW_GRAM} + 1, 0)), "
+        f"transform({sliding_index_sql('toks', WINNOW_GRAM)}, "
         f"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, {WINNOW_GRAM})))"
         " AS gh))"
     )
@@ -1349,7 +1352,7 @@ def q_doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(a) - 1), "
+                f"transform({sliding_index_sql('a', 2)}, "
                 "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
             )
         ).alias("bigram"),
@@ -1421,7 +1424,7 @@ def q_contamination_ngram_overlap(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(a) - {CONTAM_GRAM - 1}), "
+                f"transform({sliding_index_sql('a', CONTAM_GRAM)}, "
                 f"i -> concat_ws(' ', slice(a, i, {CONTAM_GRAM})))"
             )
         ).alias("g"),
@@ -1908,7 +1911,7 @@ def q_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     pairs = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+        f"transform({sliding_index_sql('toks', 2)}, "
         "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"
     )
     big = toked.select("doc_id", F.explode(pairs).alias("p")).select(
@@ -2467,7 +2470,7 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     wins = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 7, 0)), "
+        f"transform({sliding_index_sql('toks', 8)}, "
         "i -> md5(concat_ws(' ', slice(toks, i, 8))))"
     )
     w = toked.select("doc_id", F.explode(wins).alias("whash"))
@@ -3097,7 +3100,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(w) - 1, 0)), "
+        f"transform({sliding_index_sql('w', 2)}, "
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
     grams = spread(docs).select(

@@ -891,6 +891,23 @@ def q_console_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalar_lines.unionAll(api_lines)
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Fixed per-(tag, dataset) scratch path under the system tmp dir.
+
+    Sink round-trip queries write here with mode('overwrite'), so repeated
+    bench/correctness runs REUSE one directory instead of accumulating a
+    fresh mkdtemp leftover per build() call (bench times each query 3x).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"qss_{tag}_{h}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 @register(
     "datalake_roundtrip",
     oracle="""
@@ -911,14 +928,12 @@ GROUP BY event_type
     "hash. Integer centi-value sums keep it exact.",
 )
 def q_datalake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from queue_system_simulator_spark.sources.sink import write_datalake
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="qss_datalake_rt_")
+    out = _scratch_dir("datalake_rt", sf_dir)
     write_datalake(
         ev, out, partition_by=["event_type"], sort_within=["ts"],
         max_records_per_file=250_000,
@@ -1017,12 +1032,10 @@ GROUP BY o_orderstatus
     "the hash. Integer centi-money keeps it exact.",
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="qss_orc_rt_")
+    out = _scratch_dir("orc_rt", sf_dir)
     (
         orders.write.mode("overwrite")
         .option("compression", "zlib")
@@ -1064,9 +1077,10 @@ FROM base
     "custom Python data source consumed as readStream (Spark 4 "
     "DataSourceStreamReader — row-index offsets, per-user partitions per "
     "micro-batch, replay-safe reads), drained with AvailableNow and "
-    "graded against the SAME oracle as the batch source (a live run "
-    "triggers per offset advance; reads recompute from row 0 so batch "
-    "boundaries cannot change a value — pinned by the slice test in "
+    "graded against the SAME oracle as the batch source (a live run sets "
+    "rows_per_batch to throttle offset advance per trigger; reads "
+    "recompute from row 0 so batch boundaries cannot change a value — "
+    "pinned by the slice and multi-batch tests in "
     "tests/test_sources.py). This is the contract for "
     "plugging a bespoke feed (queue snapshot service, internal log API) "
     "into Structured Streaming.",
@@ -1088,7 +1102,6 @@ def q_pyds_request_log_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("users", 50)
         .option("requests", 20)
         .option("seed", 42)
-        .option("rows_per_batch", 7)
         .load()
     )
     epoch_ms = F.unix_millis(

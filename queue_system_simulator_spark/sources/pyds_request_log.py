@@ -97,27 +97,44 @@ class RequestLogStreamReader(DataSourceStreamReader):
     """Micro-batched twin of ``RequestLogReader``.
 
     The offset is a plain row index into each user's deterministic request
-    stream; every trigger advances it by ``rows_per_batch``.  partitions()
-    still shards per user, so each micro-batch runs one task per user —
-    the same horizontal axis as the batch source.  Rows are identical to
-    the batch source for any batching/retry/replay: arrival accumulation
-    restarts from row 0 inside read(), so a slice's values never depend on
-    which micro-batch produced it (exactly-once replay safety).
+    stream; with ``rows_per_batch`` set, every trigger advances it by that
+    many rows (live multi-micro-batch mode), otherwise the whole finite
+    stream is reported available at once (the mode AvailableNow drains
+    require — see latestOffset).  partitions() still shards per user, so
+    each micro-batch runs one task per user — the same horizontal axis as
+    the batch source.  Rows are identical to the batch source for any
+    batching/retry/replay: arrival accumulation restarts from row 0 inside
+    read(), so a slice's values never depend on which micro-batch produced
+    it (exactly-once replay safety).
     """
 
     def __init__(self, options):
         self.users = int(options.get("users", 5))
         self.requests = int(options.get("requests", 5))
         self.seed = int(options.get("seed", 42))
-        self.rows_per_batch = int(options.get("rows_per_batch", 7))
+        # rows_per_batch > 0 throttles offset advance per trigger (live
+        # multi-micro-batch runs); 0 (default) reports the full finite
+        # stream as available immediately.  AvailableNow drains capture
+        # latestOffset() ONCE as the drain target, so a throttled reader
+        # under an AvailableNow trigger stops after one batch — drain
+        # queries must leave this at 0 (measured: 350 of 1000 rows
+        # otherwise).
+        self.rows_per_batch = int(options.get("rows_per_batch", 0))
+        self._cursor = 0
 
     def initialOffset(self):
         return {"row": 0}
 
     def latestOffset(self):
-        # the generator is finite: everything is available immediately; a
-        # live system would return its current high-watermark here
-        return {"row": self.requests}
+        # the generator is finite and replayable: with no throttle,
+        # everything is available immediately (a live system would return
+        # its current high-watermark); with rows_per_batch set, a cursor
+        # advances per trigger so a ProcessingTime run genuinely produces
+        # ceil(requests / rows_per_batch) micro-batches
+        if self.rows_per_batch <= 0:
+            return {"row": self.requests}
+        self._cursor = min(self._cursor + self.rows_per_batch, self.requests)
+        return {"row": self._cursor}
 
     def partitions(self, start, end):
         r0, r1 = int(start["row"]), int(end["row"])

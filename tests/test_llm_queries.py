@@ -610,3 +610,35 @@ def test_embed_outlier_rate_is_per_cluster_adaptive(spark, sf_dir):
     # and ties move the boundary by at most a couple of vectors)
     for r in per:
         assert 0.0 <= r.rate <= 0.2
+
+
+def test_short_documents_do_not_crash_window_builders(spark, tmp_path):
+    # sequence(1, n) with n < 1 is DESCENDING in Spark ([1, 0], ...), so an
+    # unguarded sliding-window transform crashes element_at(_, 0) on a
+    # single-token document (INVALID_INDEX_OF_ZERO) or silently slices
+    # from the array END on negative starts.  sliding_index_sql guards
+    # every n-gram/window builder; this pins the edge case the synthetic
+    # corpus never contains.
+    rows = [
+        (1, "", "en", "src0", 0),
+        (2, "one", "en", "src0", 3),
+        (3, "two words", "en", "src1", 9),
+        (4, " ".join(f"tok{i}" for i in range(20)), "en", "src1", 100),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "short_docs")
+    docs.write.parquet(f"{d}/documents.parquet")
+    for name in [
+        "ngram_jaccard_pairs",
+        "doc_winnow_fingerprints",
+        "doc_repetition_score",
+        "bigram_lm_doc_score",
+        "dup_span_fraction",
+        "dsir_importance_weights",
+        "contamination_ngram_overlap",
+        "bigram_lift",
+    ]:
+        out = QUERIES[name].build(spark, d)
+        out.collect()  # must not raise; counts vary by query semantics

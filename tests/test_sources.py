@@ -314,7 +314,69 @@ def test_pyds_stream_slices_are_batching_invariant():
     for a, b in [(0, 7), (7, 14), (14, 20)]:
         parts.extend(r.read(_StreamSlice(1, a, b, 42)))
     assert whole == parts
-    # offsets API: initial -> latest covers exactly the row space
+    # offsets API: initial -> latest covers exactly the row space, and is
+    # stable across calls (AvailableNow captures it once as drain target)
     assert r.initialOffset() == {"row": 0}
     assert r.latestOffset() == {"row": 20}
+    assert r.latestOffset() == {"row": 20}
     assert len(r.partitions({"row": 0}, {"row": 20})) == 3  # one per user
+
+    # throttled mode: rows_per_batch advances the offset per trigger,
+    # capped at the finite stream length -> ceil(20/7) = 3 micro-batches
+    t = RequestLogStreamReader(
+        {"users": 3, "requests": 20, "seed": 42, "rows_per_batch": 7}
+    )
+    assert [t.latestOffset() for _ in range(4)] == [
+        {"row": 7},
+        {"row": 14},
+        {"row": 20},
+        {"row": 20},
+    ]
+
+
+def test_pyds_stream_throttled_live_run_multi_batch(spark, tmp_path):
+    """End-to-end: a ProcessingTime run with rows_per_batch set produces
+    MULTIPLE micro-batches whose union is the complete stream (the
+    advertised live-mode behavior; AvailableNow drains leave the throttle
+    off and capture the full stream in one pass)."""
+    import time
+
+    from queue_system_simulator_spark.shipping import ensure_shipped
+    from queue_system_simulator_spark.sources.pyds_request_log import (
+        RequestLogDataSource,
+    )
+
+    ensure_shipped(spark)
+    try:
+        spark.dataSource.register(RequestLogDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("request_log")
+        .option("users", 3)
+        .option("requests", 20)
+        .option("seed", 42)
+        .option("rows_per_batch", 7)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_throttled")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM pyds_throttled").first().c == 60:
+                break
+            time.sleep(0.5)
+        total = spark.sql("SELECT count(*) c FROM pyds_throttled").first().c
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert total == 60  # 3 users x 20 requests, nothing lost or duplicated
+    # ceil(20/7) = 3 offset advances -> at least 3 non-empty micro-batches
+    assert len(batches) >= 3
