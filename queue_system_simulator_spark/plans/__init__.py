@@ -18,85 +18,81 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 )
 
 #: The driver grades exactly the FIRST 50 entries of ``queries()`` in
-#: registration order, so ordering is part of the contract.  Round-3
-#: rotation: keep the 20 SURVEY-§2 parity anchors (reference operator
-#: surface + the five hash-graded kernel oracles + the newly-gradeable
-#: generator), and spend the other 30 slots on queries never yet graded by
-#: the driver — all 8 remaining streaming queries, the iterative/graph/
-#: clustering flagships, the remaining multimodal paths, the 6 most
-#: pattern-distinct ungraded TPC-H adaptations, and one representative of
-#: each round-3 operator family with no graded sibling (Bloom dedup, BPE
-#: training, DSIR, Z-order).  Everything rotated OUT was driver-green in
-#: round 1 or 2 (CORRECTNESS_r01/r02) and stays registered + locally
-#: gated (tools/check_oracle.py); cumulative driver-graded coverage after
-#: this window: ~95/170.
+#: registration order, so ordering is part of the contract.  Round-4
+#: rotation: cumulative driver-graded coverage after rounds 1-3 is
+#: 106/179 registered queries; this window keeps just 3 continuity
+#: anchors (ingest + the flagship stats + the DES kernel, all green in
+#: every prior round) and spends 47 slots on never-yet-graded queries:
+#: the 10 remaining TPC-H patterns, the extension surfaces (custom Python
+#: data source batch+stream, ORC, UDTF, Arrow UDAF, chained stateful
+#: streaming, sharded-exact percentiles), relational/analytics breadth
+#: (grouping sets, SCD2, gap-fill, OHLC, snapshot diff, skew salting,
+#: window showcases, DQ audits), and the LLM-curation families with no
+#: graded sibling (Gopher flags, SemDeDup, fuzzy dedup, perplexity
+#: filter, SQ8, IVF recall, incremental MinHash, vocab encode, LSH
+#: recall eval, stratified split, embedding outliers, PQ ADC).
+#: Everything rotated OUT was driver-green in a prior round
+#: (CORRECTNESS_r01/r02/r03) and stays registered + locally gated
+#: (tools/check_oracle.py); cumulative coverage after this window:
+#: ~153/179.
 DRIVER_WINDOW = [
-    # --- §2 anchors: reference operator surface (A–D, G) ---
+    # --- continuity anchors (green in r01+r02+r03) ---
     "ingest_requests",
-    "sim_arrival_time",
-    "negative_arrival_check",
-    "priority_class",
-    "hms_format",
-    "input_count",
-    "fifo_timeline",
     "fifo_stats",
-    "sim_result_stats",
-    "api_usage_zero_fill",
-    "enqueue_totals",
-    "result_order",
-    "rate_limit_sliding",
-    "queue_depth_timeseries",
-    # A6+D3, newly hash-gradeable (md5-derived uniforms, r3)
-    "generate_requests",
-    # A7+A5, newly hash-gradeable (r3): render stage as a (line_no, line)
-    # frame; parquet-datalake sink round-trip vs the original table
-    "console_report",
-    "datalake_roundtrip",
-    # --- §2 anchors: the five hash-graded E-block kernel oracles ---
     "kernel_fifo_k1",
-    "kernel_fifo_bounded_oracle",
-    "kernel_priority_oracle",
-    "kernel_fifo_k2_oracle",
-    "kernel_api_rotation_oracle",
-    # --- never-driver-graded: Structured Streaming, complete family ---
-    "streaming_sliding_api_load",
-    "streaming_session_counts",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_dedup_counts",
-    "streaming_dedup_within_watermark",
-    "streaming_enrich_segment_counts",
-    "streaming_rate_limit",
-    # --- never-driver-graded: iterative / graph / clustering flagships ---
-    "pagerank_near_dup",
-    "cluster_aware_split",
-    "kmeans_medoid_keep",
-    "user_activity_similarity",
-    # --- never-driver-graded: remaining multimodal paths ---
-    "multimodal_features_arrow",
-    "multimodal_resize_stats",
-    "multimodal_audio_windows",
-    # --- never-driver-graded: corpus-statistics flagships ---
-    "tfidf_top_terms",
-    "embed_knn_graph",
-    "bigram_lm_doc_score",
-    # --- never-driver-graded: pattern-distinct TPC-H adaptations ---
-    # (q4/q5/q10/q13/q17/q19/q22 wait for the round-4 rotation; 50 slots
-    # is 50 — four slots went to the round-3 operator families below)
-    "tpch_q7_trade_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q12_priority_by_flag",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers",
-    # --- round-3 operator families with no graded sibling: distributed
-    # Bloom dedup, iterative BPE training, DSIR data selection, Z-order
-    # layout (each a genuinely new pattern, not a composition of already-
-    # graded plans) ---
-    "incremental_dedup_bloom",
-    "bpe_merge_training",
-    "dsir_importance_weights",
-    "zorder_file_layout",
+    # --- remaining TPC-H patterns (completes driver-graded 22/22) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_late_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotable_suppliers",
+    "tpch_q22_dormant_customers",
+    # --- extension surfaces: custom Python data source (batch + stream),
+    # ORC sink/source, Python UDTF, Arrow UDAF, chained stateful
+    # streaming, sharded-exact percentile path ---
+    "pyds_request_log",
+    "pyds_request_log_stream",
+    "orc_roundtrip",
+    "udtf_event_run_lengths",
+    "weighted_value_mean_udaf",
+    "streaming_join_then_window",
+    "fifo_stats_distributed",
+    # --- relational / analytics breadth ---
+    "grouping_sets_revenue",
+    "rollup_revenue",
+    "window_function_showcase",
+    "window_topn_orders",
+    "setops_customer_segments",
+    "skew_salted_user_totals",
+    "scd2_user_history",
+    "timeseries_gap_fill",
+    "snapshot_diff_user_state",
+    "events_hourly_ohlc",
+    "incremental_rollup_merge",
+    "seasonal_naive_forecast_eval",
+    "dq_expectations_report",
+    "subquery_rewrites_demo",
+    "user_event_unpivot",
+    # --- LLM-curation families with no graded sibling ---
+    "gopher_quality_flags",
+    "priority_sample_by_source",
+    "dup_span_fraction",
+    "semdedup_prune",
+    "fuzzy_edit_dedup_pairs",
+    "ppl_quantile_filter",
+    "embed_sq8_quantize",
+    "ivf_recall_at_k",
+    "incremental_minhash_candidates",
+    "quality_rank_by_source",
+    "vocab_encode_ids",
+    "lsh_recall_eval",
+    "stratified_exact_split",
+    "embed_outlier_flags",
+    "pq_adc_topk",
 ]
 
 
