@@ -1600,3 +1600,206 @@ def q_seasonal_naive_forecast_eval(
             ).alias("mae_centi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable sketches: HyperLogLog and Count-Min built from md5-derived
+# integers so BOTH engines compute bit-identical registers/counters —
+# unlike the built-in hll_sketch_agg (engine-specific binary, pytest-only
+# in tests/test_sketches.py), these make the sketch family HASH-GRADEABLE.
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+_HLL_HEX = 12  # 48-bit hash: 6 bucket bits + 42 rho bits
+_HLL_W = _HLL_HEX * 4 - HLL_P
+
+
+def _hll_rho_case(v: str) -> str:
+    """Leading-zero rank of a 42-bit field as a CASE ladder — exact
+    integer comparisons, no log2/float, so Spark and DuckDB agree on
+    every input including v = 0 (rho = W + 1)."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << (_HLL_W - k)} THEN {k}"
+        for k in range(1, _HLL_W + 1)
+    )
+    return f"CASE {branches} ELSE {_HLL_W + 1} END"
+
+
+def _hll_lc_case(vz: str) -> str:
+    """Linear-counting table m*ln(m/V) for V in 1..m as literal doubles —
+    both engines read the SAME decimal literals, so the small-range
+    correction never depends on either engine's libm ln()."""
+    import math
+
+    branches = " ".join(
+        f"WHEN {v} THEN CAST({repr(HLL_M * math.log(HLL_M / v))} AS DOUBLE)"
+        for v in range(1, HLL_M + 1)
+    )
+    return f"CASE {vz} {branches} END"
+
+
+#: alpha_m * m^2 for m = 64 (Flajolet et al. 2007): identical literal
+#: arithmetic on both sides -> identical double.  Explicit DOUBLE casts —
+#: bare decimal literals are DECIMAL in Spark SQL (and would truncate).
+_HLL_ALPHA_M2 = (
+    f"CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / {HLL_M})"
+    f" * {HLL_M * HLL_M}"
+)
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, {_HLL_HEX}) AS BIGINT) AS hv
+  FROM events
+),
+reg AS (
+  SELECT event_type, hv % {HLL_M} AS bucket,
+         max({_hll_rho_case(f"hv >> {HLL_P}")}) AS r
+  FROM h GROUP BY event_type, hv % {HLL_M}
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS n_used,
+         sum(CAST(1 AS DOUBLE) / (1::BIGINT << r)) + ({HLL_M} - count(*)) AS s
+  FROM reg GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(a.n_used AS BIGINT) AS n_used_buckets,
+       round(CASE WHEN {HLL_M} - a.n_used > 0
+                   AND {_HLL_ALPHA_M2} / a.s < 2.5 * {HLL_M}
+             THEN {_hll_lc_case(f"{HLL_M} - a.n_used")}
+             ELSE {_HLL_ALPHA_M2} / a.s END, 4) AS hll_estimate,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+FROM agg a JOIN ex e USING (event_type)
+""",
+    description="Portable HyperLogLog (p=6, 64 registers): md5-derived "
+    "48-bit hash split into bucket + rho (leading-zero rank via an exact "
+    "integer CASE ladder), register max per (group, bucket), harmonic "
+    "estimate with the standard small-range linear-counting correction "
+    "read from a literal lookup table — every step integer- or "
+    "dyadic-exact, so Spark and the DuckDB oracle produce bit-identical "
+    "estimates (the built-in hll_sketch_agg is engine-specific and only "
+    "pytest-checkable). The 100 TB pattern: the register frame is "
+    "m-bounded per group (64 rows) and mergeable by max — partial "
+    "aggregation does the heavy lifting map-side, and segment sketches "
+    "union by the same max. exact_distinct is computed only to grade the "
+    "estimator. Est error at m=64 is ~13% rsd; p is a constant to raise.",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hv = F.expr(
+        f"CAST(conv(substr(md5(concat('hll|', CAST(user_id AS STRING))), "
+        f"1, {_HLL_HEX}), 16, 10) AS BIGINT)"
+    )
+    base = ev.select(
+        "event_type",
+        "user_id",
+        (hv % HLL_M).alias("bucket"),
+        F.expr(
+            _hll_rho_case(
+                f"(CAST(conv(substr(md5(concat('hll|', CAST(user_id AS "
+                f"STRING))), 1, {_HLL_HEX}), 16, 10) AS BIGINT) >> {HLL_P})"
+            )
+        ).alias("rho"),
+    )
+    regs = base.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        (
+            F.sum(F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), r)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+        ).alias("s"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    raw = F.expr(f"{_HLL_ALPHA_M2} / s")
+    v_empty = F.lit(HLL_M) - F.col("n_used")
+    lc = F.expr(_hll_lc_case(f"{HLL_M} - n_used"))
+    est = F.when((v_empty > 0) & (raw < 2.5 * HLL_M), lc).otherwise(raw)
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        F.col("n_used").cast("long").alias("n_used_buckets"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+_CMS_TOPK = 20
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+js AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j),
+hashed AS (
+  SELECT c.user_id, c.n, js.j,
+         CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|' || CAST(c.user_id AS VARCHAR)), 1, 12) AS BIGINT) % {CMS_W} AS bucket
+  FROM counts c, js
+),
+counters AS (
+  SELECT j, bucket, CAST(sum(n) AS BIGINT) AS c
+  FROM hashed GROUP BY j, bucket
+),
+top AS (
+  SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT {_CMS_TOPK}
+),
+est AS (
+  SELECT h.user_id, min(ct.c) AS cms_n
+  FROM hashed h JOIN counters ct USING (j, bucket)
+  WHERE h.user_id IN (SELECT user_id FROM top)
+  GROUP BY h.user_id
+)
+SELECT t.user_id, CAST(t.n AS BIGINT) AS exact_n,
+       CAST(e.cms_n AS BIGINT) AS cms_n,
+       CAST(e.cms_n - t.n AS BIGINT) AS overcount
+FROM top t JOIN est e USING (user_id)
+""",
+    description="Portable Count-Min sketch (d=4 x w=512, md5 row hashes): "
+    "per-key event counts folded into d*w integer counters (one tiny "
+    "groupBy), heavy-hitter candidates probed as min over their d "
+    "counters — the classic one-sided estimate (cms_n >= exact_n, "
+    "overcount = collision mass). Integer-exact end to end, so the "
+    "sketch itself is hash-graded against DuckDB. At 100 TB the counter "
+    "frame is a constant 2048 rows — broadcastable state that turns "
+    "frequency estimation into a map-side probe; candidates here are the "
+    "exact top-20 (graded deterministically by count desc, user_id) but "
+    "any stream of keys probes the same counters without rescanning "
+    "events.",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', "
+        f"CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT) % {CMS_W}"
+    )
+    hashed = counts.select("user_id", "n", js).withColumn("bucket", bucket)
+    counters = hashed.groupBy("j", "bucket").agg(F.sum("n").alias("c"))
+    top = counts.orderBy(F.desc("n"), "user_id").limit(_CMS_TOPK)
+    est = (
+        hashed.join(F.broadcast(top.select("user_id")), "user_id")
+        .join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return top.join(est, "user_id").select(
+        "user_id",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("cms_n").cast("long").alias("cms_n"),
+        (F.col("cms_n") - F.col("n")).cast("long").alias("overcount"),
+    )

