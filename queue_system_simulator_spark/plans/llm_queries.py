@@ -4015,3 +4015,79 @@ def q_embed_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(thr), "label").select(
         "vec_id", "label", "l2", (F.col("l2") > F.col("cut")).alias("is_outlier")
     )
+
+
+TEMP_SAMPLE_FRAC = 0.3  # corpus-wide sample budget as a fraction of docs
+
+
+@register(
+    "temperature_source_resample",
+    oracle=f"""
+WITH per AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS corpus_n, sum(sqrt(CAST(n AS DOUBLE))) AS w
+  FROM per
+),
+tgt AS (
+  SELECT p.source, p.n,
+         CAST(floor(CAST({TEMP_SAMPLE_FRAC} AS DOUBLE) * t.corpus_n * sqrt(CAST(p.n AS DOUBLE)) / t.w) AS BIGINT) AS target
+  FROM per p, tot t
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('tmp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN tgt USING (source)
+WHERE r.rk <= tgt.target
+""",
+    description="Temperature-based corpus mixing (UniMax-style): per-source "
+    "sample targets proportional to n^(1/2) (temperature 2 flattens the "
+    "source distribution so head sources stop drowning the tail), filled "
+    "by md5-ranked exact allocation inside each source — every run and "
+    "every engine picks the SAME documents (sqrt and the divide are "
+    "IEEE-exact on identical inputs; the rank is a seeded hash, not "
+    "rand()). Differs from corpus_mix_sample (fixed external weights, "
+    "per-row Bernoulli) by deriving weights from observed counts and "
+    "hitting each target exactly. At 100 TB: per-source counts are one "
+    "partial-agg pass, the rank window shuffles once on source, and the "
+    "tiny target table broadcasts back — no global sort, no driver loop.",
+)
+def q_temperature_source_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.sum("n").cast("long").alias("corpus_n"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("w"),
+    )
+    tgt = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.lit(TEMP_SAMPLE_FRAC)
+            * F.col("corpus_n")
+            * F.sqrt(F.col("n").cast("double"))
+            / F.col("w")
+        )
+        .cast("long")
+        .alias("target"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("tmp|"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    ranked = docs.select("doc_id", "source", rk.alias("rk"))
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
