@@ -127,6 +127,10 @@ HEADLINE = [
     "udtf_event_run_lengths",
     "incremental_rollup_merge",
     "sampled_count_estimate",
+    # round-4 additions: portable sketches + temperature corpus mixing
+    "hll_distinct_users",
+    "cms_heavy_hitters",
+    "temperature_source_resample",
 ]
 
 
