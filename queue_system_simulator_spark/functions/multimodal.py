@@ -377,3 +377,45 @@ def audio_window_stats(media: DataFrame, n_windows: int = AUDIO_WINDOWS) -> Data
             )
 
     return media.filter("kind = 'audio'").mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("h1", T.LongType()),
+        T.StructField("h2", T.LongType()),
+    ]
+)
+
+
+def perceptual_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) over each image's first 64 pixels as an 8x8
+    grid — the perceptual-dedup signature stage (``mapInPandas``).
+
+    bit_i = pixel_i * 64 > sum(pixels): the integer cross-multiplied form
+    of "pixel above mean", exact on both engines (no float mean).  The 64
+    bits pack into two 32-bit halves (h1 = bits 0-31, h2 = bits 32-63) so
+    no shift ever reaches the BIGINT sign bit.  With a real codec the
+    fake-decode byte grid becomes the downsampled luma plane; the
+    signature, banding, and verify stages are unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, blob in zip(
+                pdf["media_id"], pdf["kind"], pdf["blob"]
+            ):
+                if kind != "image":
+                    continue
+                a = np.frombuffer(blob, dtype=np.uint8)[:64].astype(np.int64)
+                s = int(a.sum())
+                bits = (a * 64 > s).astype(np.int64)
+                h1 = int((bits[:32] << np.arange(32)).sum())
+                h2 = int((bits[32:] << np.arange(32)).sum())
+                rows.append((int(mid), h1, h2))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return media.filter("kind = 'image'").mapInPandas(batches, AHASH_SCHEMA)

@@ -196,3 +196,65 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return audio_window_stats(synthesize_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_ahash_dedup",
+    oracle=_MEDIA_BYTES_SQL
+    + """
+, px AS (
+  SELECT media_id, list_slice(bytes, 1, 64) AS p,
+         list_aggregate(list_slice(bytes, 1, 64), 'sum') AS s
+  FROM b WHERE kind = 'image'
+),
+bits AS (
+  SELECT media_id, ii.i,
+         CASE WHEN p[ii.i] * 64 > s THEN 1 ELSE 0 END AS bit
+  FROM px, (SELECT unnest(generate_series(1, 64)) AS i) ii
+),
+h AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN i <= 32
+                       THEN bit * (1::BIGINT << CAST(i - 1 AS INT))
+                       ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN i > 32
+                       THEN bit * (1::BIGINT << CAST(i - 33 AS INT))
+                       ELSE 0 END) AS BIGINT) AS h2
+  FROM bits GROUP BY media_id
+)
+SELECT media_id, h1, h2,
+       CAST(h1 % 65536 AS BIGINT) AS band16,
+       CAST(count(*) OVER (PARTITION BY h1 % 65536) - 1 AS BIGINT)
+         AS n_bandmates
+FROM h
+""",
+    description="Perceptual-hash dedup blocking for images: aHash (8x8 "
+    "above-mean bits, integer cross-multiplied so no float mean) computed "
+    "in mapInPandas over the binary blob, packed into two 32-bit halves, "
+    "then banded on the low 16 bits — the image twin of SimHash banding. "
+    "n_bandmates counts band collisions (the candidate mass a hamming "
+    "verify stage would re-score; this corpus' fake pixels are md5 noise, "
+    "so collisions are expectedly rare). At 100 TB the signature pass is "
+    "map-only Python-vectorized, the band shuffle carries 24 bytes/image, "
+    "and verify cost scales with collision mass — never all-pairs. With a "
+    "real codec the byte grid becomes the downsampled luma plane; "
+    "signature/banding/verify stages are unchanged "
+    "(functions/multimodal.py:perceptual_ahash).",
+)
+def q_multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from queue_system_simulator_spark.functions.multimodal import (
+        perceptual_ahash,
+    )
+
+    h = perceptual_ahash(synthesize_media(spark, sf_dir))
+    band = h.withColumn("band16", F.col("h1") % 65536)
+    n_mates = (
+        F.count(F.lit(1)).over(Window.partitionBy("band16")) - 1
+    ).cast("long")
+    return band.select(
+        "media_id", "h1", "h2",
+        F.col("band16").cast("long").alias("band16"),
+        n_mates.alias("n_bandmates"),
+    )

@@ -83,3 +83,29 @@ def test_arrow_features_match_pandas_path(spark, sf_dir):
     pandas_rows = sorted(map(tuple, extract_features(media).collect()))
     arrow_rows = sorted(map(tuple, extract_features_arrow(media).collect()))
     assert pandas_rows == arrow_rows
+
+
+def test_perceptual_ahash_bits_are_exact(spark, sf_dir):
+    """aHash bit i is pixel_i*64 > sum (integer form of above-mean) over
+    the first 64 bytes; recompute one asset driver-side and compare."""
+    import numpy as np
+
+    from queue_system_simulator_spark.functions.multimodal import (
+        perceptual_ahash,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, sf_dir).filter("kind = 'image'")
+    row = media.orderBy("media_id").first()
+    got = {
+        r.media_id: r
+        for r in perceptual_ahash(media).collect()
+    }
+    a = np.frombuffer(row.blob, dtype=np.uint8)[:64].astype(np.int64)
+    bits = (a * 64 > int(a.sum())).astype(np.int64)
+    h1 = int((bits[:32] << np.arange(32)).sum())
+    h2 = int((bits[32:] << np.arange(32)).sum())
+    assert (got[row.media_id].h1, got[row.media_id].h2) == (h1, h2)
+    # halves stay in unsigned-32 range: the sign bit is never touched
+    for r in got.values():
+        assert 0 <= r.h1 < 1 << 32 and 0 <= r.h2 < 1 << 32
