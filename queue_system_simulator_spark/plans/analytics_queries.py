@@ -1803,3 +1803,107 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_n").cast("long").alias("cms_n"),
         (F.col("cms_n") - F.col("n")).cast("long").alias("overcount"),
     )
+
+
+@register(
+    "k_anon_generalize",
+    oracle="""
+WITH ev AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod
+  FROM events
+),
+kk AS (
+  SELECT CAST(greatest(5, count(*) // 200) AS BIGINT) AS k FROM ev
+),
+c0 AS (
+  SELECT event_type, hod AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, hod
+),
+counts AS (
+  SELECT 0 AS level, event_type, bucket, n FROM c0
+  UNION ALL
+  SELECT 1, event_type, bucket // 4, CAST(sum(n) AS BIGINT)
+  FROM c0 GROUP BY event_type, bucket // 4
+  UNION ALL
+  SELECT 2, event_type, bucket // 12, CAST(sum(n) AS BIGINT)
+  FROM c0 GROUP BY event_type, bucket // 12
+  UNION ALL
+  SELECT 3, event_type, -1, CAST(sum(n) AS BIGINT)
+  FROM c0 GROUP BY event_type
+),
+mins AS (
+  SELECT level, min(n) AS min_n FROM counts GROUP BY level
+),
+chosen AS (
+  SELECT CAST(coalesce(min(m.level), 3) AS INT) AS lvl
+  FROM mins m, kk WHERE m.min_n >= kk.k
+)
+SELECT CAST(c.level AS INT) AS level, c.event_type, c.bucket, c.n, kk.k
+FROM counts c, chosen, kk
+WHERE c.level = chosen.lvl
+""",
+    description="k-anonymity generalization (Mondrian-lite lattice climb): "
+    "quasi-identifier (event_type, hour-of-day) coarsened through fixed "
+    "levels (hour -> 4-hour -> am/pm -> type-only) until EVERY group "
+    "reaches k = max(5, rows/200); emits the groups at the minimal "
+    "satisfying level plus k. One scan builds the finest histogram; every "
+    "coarser level re-aggregates that tiny frame, the level choice is a "
+    "broadcast one-row frame (no driver scalars), so at 100 TB the cost "
+    "is a single partial-agg pass over events. The privacy-audit surface "
+    "for training-data release: no quasi-identifier combination rarer "
+    "than k leaves the engine.",
+)
+def q_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hod"),
+    )
+    kk = ev.agg(
+        F.expr("CAST(greatest(5, count(1) div 200) AS BIGINT)").alias("k")
+    )
+    c0 = ev.groupBy("event_type", F.col("hod").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c0 = c0.select("event_type", "bucket", "n")
+
+    def lift(lvl: int, bucket_expr: str) -> DataFrame:
+        return (
+            c0.groupBy("event_type", F.expr(bucket_expr).alias("bucket"))
+            .agg(F.sum("n").alias("n"))
+            .select(
+                F.lit(lvl).alias("level"),
+                "event_type",
+                F.col("bucket").cast("long").alias("bucket"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+
+    counts = (
+        c0.select(
+            F.lit(0).alias("level"),
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .unionAll(lift(1, "bucket div 4"))
+        .unionAll(lift(2, "bucket div 12"))
+        .unionAll(lift(3, "-1"))
+    )
+    mins = counts.groupBy("level").agg(F.min("n").alias("min_n"))
+    chosen = (
+        mins.crossJoin(F.broadcast(kk))
+        .filter(F.col("min_n") >= F.col("k"))
+        .agg(F.coalesce(F.min("level"), F.lit(3)).cast("int").alias("lvl"))
+    )
+    return (
+        counts.join(F.broadcast(chosen), counts["level"] == F.col("lvl"))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "event_type",
+            "bucket",
+            "n",
+            "k",
+        )
+    )
