@@ -436,3 +436,120 @@ def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("window_start_s") + 60 <= F.col("wm_s") - 120)
         .drop("wm_s")
     )
+
+
+LATENESS_BLOCK = 10_000  # rows per prefix-scan block
+
+
+@register(
+    "watermark_lateness_audit",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, epoch_us(ts) AS tus,
+         event_id // {LATENESS_BLOCK} AS blk
+  FROM events
+),
+blk_max AS (
+  SELECT blk, max(tus) AS bmax FROM ev GROUP BY blk
+),
+blk_prefix AS (
+  SELECT blk,
+         max(bmax) OVER (ORDER BY blk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM blk_max
+),
+run AS (
+  SELECT e.event_type,
+         greatest(
+           coalesce(p.prev_max, e.tus),
+           max(e.tus) OVER (PARTITION BY e.blk ORDER BY e.event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ) - e.tus AS late_us
+  FROM ev e JOIN blk_prefix p USING (blk)
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(max(late_us) AS BIGINT) AS max_late_us,
+         CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+         CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_5m,
+         CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m
+  FROM run GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, max_late_us,
+       round(CAST(n_late_1m AS DOUBLE) / n, 6) AS drop_frac_1m,
+       round(CAST(n_late_5m AS DOUBLE) / n, 6) AS drop_frac_5m,
+       round(CAST(n_late_10m AS DOUBLE) / n, 6) AS drop_frac_10m
+FROM agg
+""",
+    description="Watermark sizing audit: per-row lateness = running max of "
+    "event time in arrival order (event_id) minus own event time — the "
+    "fraction a 1/5/10-minute watermark would DROP, per event type. The "
+    "global running max uses a two-phase prefix scan (block maxima -> "
+    "running max over the tiny block frame -> within-block window joined "
+    "back), so no single-reducer global window: the pattern for any "
+    "global running aggregate at 100 TB. Pure integer-microsecond "
+    "arithmetic; feeds directly into the withWatermark() delay choices "
+    "the streaming family hardcodes.",
+)
+def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.expr(f"event_id div {LATENESS_BLOCK}").alias("blk"),
+    )
+    blk_max = ev.groupBy("blk").agg(F.max("tus").alias("bmax"))
+    w_blk = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_prefix = blk_max.select(
+        "blk", F.max("bmax").over(w_blk).alias("prev_max")
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.join(F.broadcast(blk_prefix), "blk").select(
+        "event_type",
+        (
+            F.greatest(
+                F.coalesce(F.col("prev_max"), F.col("tus")),
+                F.max("tus").over(w_in),
+            )
+            - F.col("tus")
+        ).alias("late_us"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.sum((F.col("late_us") > 60_000_000).cast("long")).alias("l1"),
+            F.sum((F.col("late_us") > 300_000_000).cast("long")).alias("l5"),
+            F.sum((F.col("late_us") > 600_000_000).cast("long")).alias("l10"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "max_late_us",
+            F.round(F.col("l1").cast("double") / F.col("n"), 6).alias(
+                "drop_frac_1m"
+            ),
+            F.round(F.col("l5").cast("double") / F.col("n"), 6).alias(
+                "drop_frac_5m"
+            ),
+            F.round(F.col("l10").cast("double") / F.col("n"), 6).alias(
+                "drop_frac_10m"
+            ),
+        )
+    )
