@@ -4091,3 +4091,122 @@ def q_temperature_source_resample(
         .filter(F.col("rk") <= F.col("target"))
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_POOL = 50  # per-retriever candidate depth
+RRF_TOPK = 10
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+cand AS (SELECT vec_id, label, v FROM e WHERE vec_id != 0),
+cosr AS (
+  SELECT b.vec_id,
+         row_number() OVER (
+           ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id) AS r
+  FROM q a, cand b
+  QUALIFY r <= {RRF_POOL}
+),
+l2r AS (
+  SELECT b.vec_id,
+         row_number() OVER (
+           ORDER BY round(list_aggregate(
+             list_transform(list_zip(a.v, b.v),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) ASC,
+           b.vec_id) AS r
+  FROM q a, cand b
+  QUALIFY r <= {RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(c.vec_id, l.vec_id) AS vec_id,
+         round(coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + c.r), 0)
+             + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + l.r), 0), 6) AS rrf,
+         c.r AS rank_cos, l.r AS rank_l2
+  FROM cosr c FULL JOIN l2r l USING (vec_id)
+)
+SELECT vec_id, rrf,
+       CAST(rank_cos AS BIGINT) AS rank_cos,
+       CAST(rank_l2 AS BIGINT) AS rank_l2
+FROM fused
+ORDER BY rrf DESC, vec_id
+LIMIT {RRF_TOPK}
+""",
+    description="Hybrid retrieval via reciprocal-rank fusion: two exact "
+    f"retrievers (cosine and L2) each contribute their top-{RRF_POOL} "
+    f"ranks for the query vector (vec_id=0), fused as sum of 1/({RRF_K}"
+    "+rank) — the standard score-free way to combine retrievers whose "
+    "raw scores aren't comparable (dense + lexical in production; two "
+    "exact metrics here so both engines agree bit-for-bit). Per-retriever "
+    "candidate depth bounds the rank windows, ranks fuse on a FULL join "
+    "of two 50-row frames, so at 100 TB each retriever runs as its own "
+    "broadcast-probe top-k and fusion cost is constant.",
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = cand.select("vec_id", cos.alias("c"), l2.alias("d"))
+    cos_top = (
+        scored.orderBy(F.col("c").desc(), "vec_id")
+        .limit(RRF_POOL)
+        .select(
+            "vec_id",
+            F.expr("row_number() OVER (ORDER BY c DESC, vec_id)").alias(
+                "rank_cos"
+            ),
+        )
+    )
+    l2_top = (
+        scored.orderBy(F.col("d").asc(), "vec_id")
+        .limit(RRF_POOL)
+        .select(
+            "vec_id",
+            F.expr("row_number() OVER (ORDER BY d ASC, vec_id)").alias(
+                "rank_l2"
+            ),
+        )
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.expr(f"CAST(1 AS DOUBLE) / ({RRF_K} + rank_cos)"), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.expr(f"CAST(1 AS DOUBLE) / ({RRF_K} + rank_l2)"), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        cos_top.join(l2_top, "vec_id", "full")
+        .select(
+            "vec_id",
+            rrf.alias("rrf"),
+            F.col("rank_cos").cast("long").alias("rank_cos"),
+            F.col("rank_l2").cast("long").alias("rank_l2"),
+        )
+        .orderBy(F.col("rrf").desc(), "vec_id")
+        .limit(RRF_TOPK)
+    )
