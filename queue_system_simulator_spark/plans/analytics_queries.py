@@ -1907,3 +1907,98 @@ def q_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
         )
     )
+
+
+ATTR_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute lookback
+
+
+@register(
+    "attribution_linear_credit",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt,
+         CAST(round(value * 100) AS BIGINT) AS centi
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ct
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.purchase_id, p.centi, c.click_id, c.ct,
+         count(*) OVER (PARTITION BY p.purchase_id) AS n,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.ct, c.click_id) AS rk
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND c.ct >= p.pt - {ATTR_WINDOW_US} AND c.ct < p.pt
+),
+credited AS (
+  SELECT (ct // 3600000000) % 24 AS hod,
+         centi // n + CASE WHEN rk = 1 THEN centi % n ELSE 0 END AS credit
+  FROM touch
+),
+unattr AS (
+  SELECT -1 AS hod, centi AS credit
+  FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM touch)
+),
+allc AS (SELECT * FROM credited UNION ALL SELECT * FROM unattr)
+SELECT CAST(hod AS BIGINT) AS hod,
+       count(*) AS n_credited,
+       CAST(sum(credit) AS BIGINT) AS sum_credit_centi
+FROM allc GROUP BY hod
+""",
+    description="Linear multi-touch attribution with EXACT credit "
+    "allocation: each purchase's centi-value splits equally across the "
+    "user's clicks in the preceding 30 min — floor division per touch, "
+    "remainder to the earliest touch, so credits are integers and sum "
+    "exactly to the purchase value (no float drift across engines or "
+    "partitionings); purchases with no touch land in the hod=-1 bucket, "
+    "making total credit conservation auditable. The touch join is a "
+    "per-user range join (user-keyed shuffle, time-pruned), the same "
+    "shape as the graded as-of/range joins; at 100 TB bucketing both "
+    "sides by user_id removes even that shuffle.",
+)
+def q_attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pt"),
+        F.round(F.col("value") * 100).cast("long").alias("centi"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("ct"),
+    )
+    touch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ct") >= F.col("pt") - ATTR_WINDOW_US)
+        & (F.col("ct") < F.col("pt")),
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("ct", "click_id")
+    credited = touch.select(
+        F.expr("(ct div 3600000000) % 24").alias("hod"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rk"),
+        "centi",
+    ).select(
+        "hod",
+        (
+            F.expr("centi div n")
+            + F.when(F.col("rk") == 1, F.expr("centi % n")).otherwise(0)
+        ).alias("credit"),
+    )
+    unattr = p.join(
+        touch.select("purchase_id").distinct(), "purchase_id", "left_anti"
+    ).select(F.lit(-1).alias("hod"), F.col("centi").alias("credit"))
+    allc = credited.unionAll(unattr)
+    return allc.groupBy(F.col("hod").cast("long").alias("hod")).agg(
+        F.count(F.lit(1)).alias("n_credited"),
+        F.sum("credit").cast("long").alias("sum_credit_centi"),
+    )

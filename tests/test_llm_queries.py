@@ -642,3 +642,21 @@ def test_short_documents_do_not_crash_window_builders(spark, tmp_path):
     ]:
         out = QUERIES[name].build(spark, d)
         out.collect()  # must not raise; counts vary by query semantics
+
+
+def test_attribution_credit_is_conserved(spark, sf_dir):
+    """Every purchase centi-unit lands exactly once (floor + remainder to
+    the earliest touch; unattributed purchases in the hod=-1 bucket)."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    out = QUERIES["attribution_linear_credit"].build(spark, sf_dir)
+    got = out.agg(F.sum("sum_credit_centi")).first()[0]
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    assert got == want
