@@ -33,6 +33,7 @@ per user from the epoch, processing_time round(U(1.0, 10.0), 1)
 
 from __future__ import annotations
 
+import sys
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql.datasource import (
@@ -43,6 +44,34 @@ from pyspark.sql.datasource import (
 )
 
 _EPOCH = datetime(2023, 1, 1, tzinfo=timezone.utc)
+
+
+def _self_register_by_value() -> None:
+    """Serialize this module's classes BY VALUE, not by reference.
+
+    Python data sources run in dedicated planner/reader workers that do
+    not see ``addPyFile`` includes the way UDF workers do: a foreign
+    session (the driver harness builds its own, from any cwd) hits
+    ``ModuleNotFoundError: queue_system_simulator_spark`` when the stream
+    reader unpickles, even after ``shipping.ensure_shipped``.  Pickling
+    the module by value embeds the class code in the pickle itself, so
+    the source works wherever cloudpickle does.
+    """
+    mod = sys.modules[__name__]
+    # register with BOTH cloudpickle instances that may serialize us:
+    # pyspark's vendored copy (used by Spark's serializers) and any
+    # standalone install
+    for importer in (
+        lambda: __import__("pyspark.cloudpickle", fromlist=["x"]),
+        lambda: __import__("cloudpickle"),
+    ):
+        try:
+            importer().register_pickle_by_value(mod)
+        except Exception:  # pragma: no cover - best-effort per instance
+            pass
+
+
+_self_register_by_value()
 
 
 class _UserPartition(InputPartition):
