@@ -4210,3 +4210,74 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "vec_id")
         .limit(RRF_TOPK)
     )
+
+
+from queue_system_simulator_spark.plans.registry import QUERIES as _REGISTRY
+
+_PQ_ADC_ORACLE = _REGISTRY["pq_adc_topk"].oracle
+PQ_RECALL_K = 10
+
+
+@register(
+    "pq_recall_at_k",
+    oracle=f"""
+WITH pq AS (SELECT vec_id FROM ({_PQ_ADC_ORACLE}) t),
+e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q2 AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+exact AS (
+  SELECT b.vec_id
+  FROM e2 b, q2
+  WHERE b.vec_id != 0
+  ORDER BY round(list_aggregate(list_transform(
+        generate_series(1, CAST(len(b.v) AS INT)),
+        i -> (b.v[CAST(i AS INT)] - qv[CAST(i AS INT)])
+           * (b.v[CAST(i AS INT)] - qv[CAST(i AS INT)])), 'sum'), 6) ASC,
+        b.vec_id
+  LIMIT {PQ_RECALL_K}
+)
+SELECT CAST({PQ_RECALL_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / {PQ_RECALL_K}.0, 6) AS recall_at_k
+FROM exact JOIN pq USING (vec_id)
+""",
+    description=f"ANN quality evaluation for the COMPRESSED path: "
+    f"recall@{PQ_RECALL_K} of PQ asymmetric-distance search against the "
+    "exact L2 top-k for the same query — quantization loss measured "
+    "directly, completing the eval matrix (ivf_recall_at_k covers the "
+    "partition-pruning axis, lsh_recall_eval the banding axis, this the "
+    "code-compression axis). Composes the engine's own pq_adc_topk plan; "
+    "both candidate lists are 10 rows, so the comparison is free. At "
+    "100 TB the same harness sweeps M/codebook sizes on a sampled query "
+    "set before committing to an index layout.",
+)
+def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pq = q_pq_adc_topk(spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", l2.alias("l2"))
+        .orderBy(F.col("l2").asc(), "vec_id")
+        .limit(PQ_RECALL_K)
+        .select("vec_id")
+    )
+    return exact.join(pq, "vec_id").agg(
+        F.lit(PQ_RECALL_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(float(PQ_RECALL_K)), 6).alias(
+            "recall_at_k"
+        ),
+    )
