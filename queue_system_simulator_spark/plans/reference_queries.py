@@ -1113,3 +1113,45 @@ def q_pyds_request_log_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "processing_time",
     )
     return run_available_now(out, output_mode="append")
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_centi
+FROM orders
+GROUP BY o_orderstatus
+""",
+    description="A5 sink/source surface, third format: orders written as "
+    "partitioned gzip JSON-lines (the interchange format the reference's "
+    "JSONL request source reads), read back with an explicit schema, and "
+    "aggregated — the oracle aggregates the ORIGINAL table, so any row "
+    "lost/duplicated/coerced by the text round-trip breaks the hash. "
+    "Integer centi-money keeps it exact; floats survive because Spark's "
+    "JSON writer emits shortest-round-trip doubles.",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = _scratch_dir("jsonl_rt", sf_dir)
+    (
+        orders.write.mode("overwrite")
+        .option("compression", "gzip")
+        .partitionBy("o_orderstatus")
+        .json(out)
+    )
+    back = spark.read.schema(orders.schema).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_centi"
+        ),
+    )
