@@ -2002,3 +2002,100 @@ def q_attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credited"),
         F.sum("credit").cast("long").alias("sum_credit_centi"),
     )
+
+
+_SKEW_REF_PARTITIONS = 32  # reference partition count for the salt formula
+
+
+@register(
+    "skew_diagnosis_report",
+    oracle=f"""
+WITH k1 AS (
+  SELECT 'events.user_id' AS keyspace, CAST(user_id AS VARCHAR) AS k
+  FROM events
+),
+k2 AS (
+  SELECT 'lineitem.l_suppkey' AS keyspace, CAST(l_suppkey AS VARCHAR) AS k
+  FROM lineitem
+),
+keys AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2),
+per AS (
+  SELECT keyspace, k, count(*) AS n FROM keys GROUP BY keyspace, k
+),
+ranked AS (
+  SELECT keyspace, n,
+         row_number() OVER (PARTITION BY keyspace ORDER BY n DESC, k) AS rk,
+         CAST(sum(n) OVER (PARTITION BY keyspace) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY keyspace) AS BIGINT) AS n_keys
+  FROM per
+)
+SELECT keyspace,
+       max(total) AS n_rows,
+       max(n_keys) AS n_keys,
+       CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top1_rows,
+       CAST(max(CASE WHEN rk = 1 THEN n END) * 1000000 // max(total) AS BIGINT)
+         AS top1_share_ppm,
+       CAST(sum(CASE WHEN rk <= 5 THEN n ELSE 0 END) * 1000000 // max(total) AS BIGINT)
+         AS top5_share_ppm,
+       CAST(greatest(1, least({_SKEW_REF_PARTITIONS},
+            (max(CASE WHEN rk = 1 THEN n END) * 1000000 // max(total)
+             * {_SKEW_REF_PARTITIONS} * 2 + 999999) // 1000000)) AS BIGINT)
+         AS recommended_salt
+FROM ranked
+GROUP BY keyspace
+""",
+    description="Skew diagnosis report — the front-end to the salted-join "
+    "pattern (skew_salted_user_totals, operators/skew.py): per key "
+    "domain, row/key counts, top-1/top-5 key shares in integer ppm (no "
+    "float drift), and a recommended salt factor 2x the top key's "
+    f"expected share of {_SKEW_REF_PARTITIONS} reference partitions, "
+    "clamped to [1, partitions]. One partial-agg count per domain plus "
+    "windows over the per-key frame; run it before any big keyed join to "
+    "decide between plain shuffle, AQE skew split, and explicit salting.",
+)
+def q_skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("keyspace"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_suppkey").alias("keyspace"),
+        F.col("l_suppkey").cast("string").alias("k"),
+    )
+    per = (
+        ev.unionAll(li)
+        .groupBy("keyspace", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("keyspace")
+    ranked = per.select(
+        "keyspace",
+        "n",
+        F.row_number()
+        .over(wp.orderBy(F.desc("n"), "k"))
+        .alias("rk"),
+        F.sum("n").over(wp).cast("long").alias("total"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_keys"),
+    )
+    top1 = F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long")
+    top1_ppm = F.expr(
+        "max(CASE WHEN rk = 1 THEN n END) * 1000000 div max(total)"
+    )
+    top5_ppm = F.expr(
+        "sum(CASE WHEN rk <= 5 THEN n ELSE 0 END) * 1000000 div max(total)"
+    )
+    salt = F.expr(
+        f"greatest(1, least({_SKEW_REF_PARTITIONS}, "
+        f"(max(CASE WHEN rk = 1 THEN n END) * 1000000 div max(total) "
+        f"* {_SKEW_REF_PARTITIONS} * 2 + 999999) div 1000000))"
+    )
+    return ranked.groupBy("keyspace").agg(
+        F.max("total").alias("n_rows"),
+        F.max("n_keys").alias("n_keys"),
+        top1.alias("top1_rows"),
+        top1_ppm.cast("long").alias("top1_share_ppm"),
+        top5_ppm.cast("long").alias("top5_share_ppm"),
+        salt.cast("long").alias("recommended_salt"),
+    )
