@@ -4281,3 +4281,79 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+DRIFT_VOCAB = 100  # top tokens by combined count
+
+
+@register(
+    "corpus_drift_tokens",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id % 2 AS slice, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM t GROUP BY tok
+  ORDER BY n_a + n_b DESC, tok
+  LIMIT {DRIFT_VOCAB}
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+  FROM cnt
+)
+SELECT c.tok, c.n_a, c.n_b,
+       round(
+         (c.n_a - CAST(ta AS DOUBLE) * (c.n_a + c.n_b) / (ta + tb))
+       * (c.n_a - CAST(ta AS DOUBLE) * (c.n_a + c.n_b) / (ta + tb))
+       / (CAST(ta AS DOUBLE) * (c.n_a + c.n_b) / (ta + tb))
+       + (c.n_b - CAST(tb AS DOUBLE) * (c.n_a + c.n_b) / (ta + tb))
+       * (c.n_b - CAST(tb AS DOUBLE) * (c.n_a + c.n_b) / (ta + tb))
+       / (CAST(tb AS DOUBLE) * (c.n_a + c.n_b) / (ta + tb)), 6) AS chi2_contrib
+FROM cnt c, tot
+""",
+    description="Corpus drift monitor: token-frequency chi-square between "
+    "two corpus slices (doc_id parity here; two crawl snapshots or a "
+    f"source vs the rest in production) over the top-{DRIFT_VOCAB} "
+    "combined-count vocabulary — per-token observed-vs-expected "
+    "contributions, the statistic that catches a data-mix shift before "
+    "it trains in. Counts are exact integers; the contribution formula "
+    "is written with structurally identical op order on both engines so "
+    "the doubles match bit-for-bit. One tokenize pass, one vocab-sized "
+    "shuffle, totals as a broadcast one-row frame.",
+)
+def q_corpus_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cnt = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("slice") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("slice") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .orderBy(F.desc(F.col("n_a") + F.col("n_b")), "tok")
+        .limit(DRIFT_VOCAB)
+    )
+    tot = cnt.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    ea = "CAST(ta AS DOUBLE) * (n_a + n_b) / (ta + tb)"
+    eb = "CAST(tb AS DOUBLE) * (n_a + n_b) / (ta + tb)"
+    contrib = F.expr(
+        f"round((n_a - {ea}) * (n_a - {ea}) / ({ea})"
+        f" + (n_b - {eb}) * (n_b - {eb}) / ({eb}), 6)"
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "tok", "n_a", "n_b", contrib.alias("chi2_contrib")
+    )
