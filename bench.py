@@ -127,10 +127,21 @@ HEADLINE = [
     "udtf_event_run_lengths",
     "incremental_rollup_merge",
     "sampled_count_estimate",
-    # round-4 additions: portable sketches + temperature corpus mixing
+    # round-4 additions: portable sketches, temperature corpus mixing,
+    # image perceptual dedup, privacy/ops audits, hybrid retrieval,
+    # attribution, PQ eval, third sink format, corpus drift
     "hll_distinct_users",
     "cms_heavy_hitters",
     "temperature_source_resample",
+    "multimodal_ahash_dedup",
+    "k_anon_generalize",
+    "watermark_lateness_audit",
+    "hybrid_rrf_topk",
+    "attribution_linear_credit",
+    "pq_recall_at_k",
+    "jsonl_roundtrip",
+    "skew_diagnosis_report",
+    "corpus_drift_tokens",
 ]
 
 
