@@ -1865,7 +1865,9 @@ def q_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = ev.groupBy("event_type", F.col("hod").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    c0 = c0.select("event_type", "bucket", "n")
+    # the finest histogram (<=120 rows) feeds four level branches plus the
+    # min/choose path: cache it so the events scan runs once
+    c0 = c0.select("event_type", "bucket", "n").cache()
 
     def lift(lvl: int, bucket_expr: str) -> DataFrame:
         return (

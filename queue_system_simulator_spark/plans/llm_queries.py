@@ -4200,6 +4200,8 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
+        # full-outer cannot broadcast-hash; SMJ over two 50-row
+        # frames is constant-cost
         cos_top.join(l2_top, "vec_id", "full")
         .select(
             "vec_id",
