@@ -783,3 +783,76 @@ def q_subquery_rewrites_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 500
         """
     )
+
+
+ASOF_FWD_HORIZON_US = 3_600_000_000  # 1-hour forward horizon
+
+
+@register(
+    "asof_join_next_error",
+    oracle=f"""
+SELECT p.event_id, p.user_id,
+       CASE WHEN e.event_id IS NOT NULL
+             AND epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_FWD_HORIZON_US}
+            THEN e.event_id END AS next_error_id,
+       CASE WHEN e.event_id IS NOT NULL
+             AND epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_FWD_HORIZON_US}
+            THEN CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT)
+       END AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts <= e.ts
+""",
+    description="FORWARD as-of join: every purchase matched to the same "
+    "user's next error at-or-after it, nulled beyond a 1-hour horizon — "
+    "the 'did this action precede a failure' ops question, mirror image "
+    "of asof_join_purchase. Same scalable merge formulation (tag + "
+    "union, one per-user window, here first(error, ignorenulls) over the "
+    "FORWARD frame; purchases sort before errors at equal ts so "
+    "at-or-after is inclusive) — one shuffle on the key, no range "
+    "explosion; DuckDB's native forward ASOF JOIN is the oracle and the "
+    "horizon cutoff is applied identically on both sides.",
+)
+def q_asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "tus",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("e_id"),
+        F.col("tus").alias("e_tus"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "tus",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("e_id"),
+        F.lit(None).cast("long").alias("e_tus"),
+        "event_id",
+    )
+    # purchases (tag 0) sort before errors (tag 1) at equal ts, so the
+    # forward frame of a purchase includes same-timestamp errors
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = errors.unionByName(probes).select(
+        "*",
+        F.first("e_id", ignorenulls=True).over(w).alias("next_e_id"),
+        F.first("e_tus", ignorenulls=True).over(w).alias("next_e_tus"),
+    )
+    in_horizon = (
+        F.col("next_e_id").isNotNull()
+        & (F.col("next_e_tus") - F.col("tus") <= ASOF_FWD_HORIZON_US)
+    )
+    return merged.filter(F.col("tag") == 0).select(
+        "event_id",
+        "user_id",
+        F.when(in_horizon, F.col("next_e_id")).alias("next_error_id"),
+        F.when(in_horizon, (F.col("next_e_tus") - F.col("tus")).cast("long"))
+        .alias("gap_us"),
+    )
