@@ -4359,3 +4359,78 @@ def q_corpus_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.crossJoin(F.broadcast(tot)).select(
         "tok", "n_a", "n_b", contrib.alias("chi2_contrib")
     )
+
+
+@register(
+    "vocab_roundtrip_check",
+    oracle="""
+WITH tok AS (
+  SELECT d.doc_id, s.i AS i, t.tokens[s.i] AS g
+  FROM documents d,
+       LATERAL (SELECT string_split(d.text, ' ') AS tokens) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.tokens))) AS i) s
+),
+vocab AS (
+  SELECT g, row_number() OVER (ORDER BY c DESC, g) AS id
+  FROM (SELECT g, count(*) AS c FROM tok GROUP BY g)
+),
+enc AS (
+  SELECT tok.doc_id, tok.i, v.id
+  FROM tok JOIN vocab v ON tok.g = v.g
+),
+dec AS (
+  SELECT e.doc_id,
+         string_agg(v.g, ' ' ORDER BY e.i) AS decoded
+  FROM enc e JOIN vocab v ON e.id = v.id
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       (dec.decoded = d.text) AS lossless
+FROM documents d JOIN dec USING (doc_id)
+""",
+    description="Tokenizer round-trip integrity: encode every document to "
+    "ids (vocab_encode_ids' id table), decode the ids back through the "
+    "inverse table, and compare against the original text — the lossless "
+    "flag every tokenizer deployment should assert before training "
+    "(space-join is the exact inverse of the whitespace tokenizer here; "
+    "a BPE stack checks detok(tok(x)) == x the same way). Both "
+    "directions are broadcast joins against the vocab-sized id table, so "
+    "the check costs two map-side passes at any corpus size.",
+)
+def q_vocab_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "g")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    vocab = (
+        tok.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "id", F.row_number().over(Window.orderBy(F.desc("c"), "g"))
+        )
+        .select("g", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "g").select("doc_id", "i", "id")
+    dec = (
+        enc.join(F.broadcast(vocab), "id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "g"))),
+                    lambda s: s["g"],
+                ),
+            ).alias("decoded")
+        )
+    )
+    return docs.join(dec, "doc_id").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.col("decoded") == F.col("text")).alias("lossless"),
+    )
