@@ -4434,3 +4434,104 @@ def q_vocab_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         (F.col("decoded") == F.col("text")).alias("lossless"),
     )
+
+
+@register(
+    "dup_span_removal",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i:i+7], ' ')) AS whash
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i)
+),
+tot AS (SELECT whash FROM w GROUP BY whash HAVING count(*) > 1),
+covered AS (
+  SELECT DISTINCT w.doc_id, w.i + o.o AS p
+  FROM w JOIN tot USING (whash),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS o) o
+),
+pos AS (
+  SELECT t.doc_id, s.p, t.toks[s.p] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS p) s
+),
+kept AS (
+  SELECT pos.doc_id,
+         count(*) AS n_kept,
+         string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned
+  FROM pos LEFT JOIN covered c ON pos.doc_id = c.doc_id AND pos.p = c.p
+  WHERE c.p IS NULL
+  GROUP BY pos.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(k.cleaned, '')) AS cleaned_hash
+FROM t LEFT JOIN kept k USING (doc_id)
+""",
+    description="Span-level duplicate REMOVAL — the rewrite stage of Lee "
+    "et al. 2022 (dup_span_fraction only measures): every token covered "
+    "by an 8-token window whose hash repeats corpus-wide is dropped, the "
+    "survivors reassemble in order, and the cleaned text is emitted as "
+    "its md5 (full text equality without shipping text through the "
+    "grade). Same linear shape as the audit — 32-byte window hashes "
+    "shuffle, the duplicated-hash set joins back once, coverage expands "
+    "to at most 8 positions per window — plus one per-doc ordered "
+    "reassembly; no all-pairs anywhere.",
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toked = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    wins = F.expr(
+        f"transform({sliding_index_sql('toks', 8)}, "
+        "i -> struct(i AS i, md5(concat_ws(' ', slice(toks, i, 8))) AS whash))"
+    )
+    w = toked.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", "w.i", "w.whash"
+    )
+    dup = (
+        w.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("whash")
+    )
+    covered = (
+        w.join(dup, "whash")
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(i, i + 7)")).alias("p"),
+        )
+        .distinct()
+    )
+    pos = toked.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = (
+        pos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("cleaned"),
+        )
+    )
+    return (
+        toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
+                "cleaned_hash"
+            ),
+        )
+    )
