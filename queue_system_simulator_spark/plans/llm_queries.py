@@ -4535,3 +4535,117 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+HARD_NEG_PROBE = 2  # nearest other cells probed per query
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS src, label AS q_label, v AS qv
+      FROM e WHERE vec_id % 25 = 0),
+cent AS ({_CENTROID_SQL}),
+cells AS (
+  SELECT q.src, cent.label,
+         row_number() OVER (PARTITION BY q.src ORDER BY
+           round(list_aggregate(list_transform(
+             generate_series(1, CAST(len(cent.c) AS INT)),
+             d -> (q.qv[CAST(d AS INT)] - cent.c[CAST(d AS INT)])
+                * (q.qv[CAST(d AS INT)] - cent.c[CAST(d AS INT)])), 'sum'), 6),
+           cent.label) AS rn
+  FROM cent, q WHERE cent.label <> q.q_label
+),
+short AS (SELECT src, label FROM cells WHERE rn <= {HARD_NEG_PROBE}),
+scored AS (
+  SELECT q.src, q.q_label, b.vec_id AS neg_id, b.label AS neg_label,
+         round(list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM q JOIN short ON short.src = q.src
+         JOIN e b ON b.label = short.label
+)
+SELECT src, q_label, neg_id, neg_label, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY src
+                               ORDER BY sim DESC, neg_id) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+    description="Hard-negative mining for contrastive training: for every "
+    "25th vector, the single most-similar vector with a DIFFERENT label — "
+    "close in embedding space, different class, the negatives that "
+    f"actually move a contrastive loss. Candidates come from the "
+    f"{HARD_NEG_PROBE} nearest OTHER cells by centroid L2 (the IVF "
+    "shortlist machinery, never an all-pairs or all-labels scan), exact "
+    "cosine inside the probed cells, argmax per query via one window. "
+    "Queries and centroids broadcast; the corpus is touched once through "
+    "a cell filter that prunes partitions at scale.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wc = Window.partitionBy("src").orderBy("l2", "label")
+    short = (
+        q.crossJoin(F.broadcast(cent))
+        .filter(F.col("label") != F.col("q_label"))
+        .select("src", "q_label", "qv", "label", l2.alias("l2"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= HARD_NEG_PROBE)
+        .select("src", "q_label", "qv", "label")
+    )
+    cand = emb.join(
+        F.broadcast(short.withColumnRenamed("label", "s_label")),
+        F.col("label") == F.col("s_label"),
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    ws = Window.partitionBy("src").orderBy(F.desc("sim"), "neg_id")
+    return (
+        cand.select(
+            "src",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("src", "q_label", "neg_id", "neg_label", "sim")
+    )
