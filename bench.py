@@ -142,6 +142,10 @@ HEADLINE = [
     "jsonl_roundtrip",
     "skew_diagnosis_report",
     "corpus_drift_tokens",
+    "asof_join_next_error",
+    "vocab_roundtrip_check",
+    "dup_span_removal",
+    "hard_negative_mining",
 ]
 
 

@@ -2101,3 +2101,93 @@ def q_skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         top5_ppm.cast("long").alias("top5_share_ppm"),
         salt.cast("long").alias("recommended_salt"),
     )
+
+
+@register(
+    "pseudonymize_join_audit",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, md5('pseud|' || CAST(user_id AS VARCHAR)) AS pid
+  FROM events
+),
+raw AS (
+  SELECT e.user_id, count(*) AS n_events,
+         count(c.c_custkey) AS n_matched
+  FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY e.user_id
+),
+pseud AS (
+  SELECT e.pid, count(*) AS n_events,
+         count(c.pid) AS n_matched
+  FROM ev e LEFT JOIN (
+    SELECT md5('pseud|' || CAST(c_custkey AS VARCHAR)) AS pid FROM customer
+  ) c USING (pid)
+  GROUP BY e.pid
+)
+SELECT r.user_id IS NOT NULL AS has_raw,
+       count(*) AS n_keys,
+       CAST(sum(CASE WHEN r.n_events = p.n_events
+                      AND r.n_matched = p.n_matched
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
+FROM raw r
+JOIN pseud p ON p.pid = md5('pseud|' || CAST(r.user_id AS VARCHAR))
+GROUP BY 1
+""",
+    description="Pseudonymization audit: user ids replaced by keyed md5 "
+    "pseudonyms on BOTH sides of the events-customer relationship, then "
+    "per-key event counts and join-match counts compared raw-vs-pseudonym "
+    "— n_consistent == n_keys proves the de-identified release preserves "
+    "referential integrity and join cardinality exactly (the property a "
+    "privacy-preserving data share must certify). Map-side hashing on "
+    "each table, two keyed aggregations; at 100 TB the pseudonym is "
+    "computed in the select before any shuffle, so the audit costs the "
+    "same as the joins it certifies.",
+)
+def q_pseudonymize_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pid = lambda c: F.md5(F.concat(F.lit("pseud|"), F.col(c).cast("string")))  # noqa: E731
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", pid("user_id").alias("pid")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", pid("c_custkey").alias("pid")
+    )
+    raw = (
+        ev.join(
+            F.broadcast(cust.select("c_custkey")),
+            ev["user_id"] == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("c_custkey").alias("n_matched"),
+        )
+    )
+    # event + matched counts on the pseudonym side
+    pseud_m = (
+        ev.join(
+            F.broadcast(cust.select("pid").withColumn("hit", F.lit(1))),
+            "pid",
+            "left",
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("hit").alias("n_matched"),
+        )
+    )
+    joined = raw.join(
+        pseud_m.withColumnRenamed("n_events", "p_events").withColumnRenamed(
+            "n_matched", "p_matched"
+        ),
+        pid("user_id") == F.col("pid"),
+    )
+    consistent = (F.col("n_events") == F.col("p_events")) & (
+        F.col("n_matched") == F.col("p_matched")
+    )
+    return joined.groupBy(
+        F.col("user_id").isNotNull().alias("has_raw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(consistent.cast("int")).cast("long").alias("n_consistent"),
+    )

@@ -358,3 +358,15 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
 
     drain()  # third run, no new data: nothing re-emitted
     assert spark.read.parquet(out).count() == total
+
+
+def test_state_partitions_is_scoped_to_the_drain(spark, sf_dir):
+    """run_available_now(state_partitions=N) must restore the session's
+    shuffle partitions afterwards — even though the drain executes inside
+    the builder, later batch queries in the same session must see the
+    original setting."""
+    from queue_system_simulator_spark.plans import QUERIES
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    QUERIES["streaming_sliding_api_load"].build(spark, sf_dir).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
