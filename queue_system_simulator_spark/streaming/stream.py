@@ -48,8 +48,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_dir = Path("/tmp/qss_spark_stream") / sf_dir.strip("/").replace("/", "_")
     link_dir.mkdir(parents=True, exist_ok=True)
     link = link_dir / "events.parquet"
-    if not link.exists():
-        link.symlink_to(path)
+    # resolve() the target: a RELATIVE sf_dir would be stored relative to
+    # the link's own directory and silently break; and check is_symlink()
+    # too — exists() follows the link, so a broken link reads as absent
+    # while symlink_to still collides (hit with .scale_probe/sf10)
+    target = Path(path).resolve()
+    if link.is_symlink() or link.exists():
+        if not (link.is_symlink() and link.resolve() == target):
+            link.unlink()
+            link.symlink_to(target)
+    else:
+        link.symlink_to(target)
     raw_schema = spark.read.parquet(path).schema  # pre-conversion (ts may be ns-long)
     stream = spark.readStream.schema(raw_schema).format("parquet").load(str(link_dir))
     ts_type = dict(stream.dtypes).get("ts")
