@@ -2191,3 +2191,105 @@ def q_pseudonymize_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(consistent.cast("int")).cast("long").alias("n_consistent"),
     )
+
+
+@register(
+    "hll_incremental_merge",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, event_id % 10 = 0 AS is_delta,
+         CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, {_HLL_HEX}) AS BIGINT) AS hv
+  FROM events
+),
+reg_part AS (
+  SELECT event_type, is_delta, hv % {HLL_M} AS bucket,
+         max({_hll_rho_case(f"hv >> {HLL_P}")}) AS r
+  FROM h GROUP BY event_type, is_delta, hv % {HLL_M}
+),
+merged AS (
+  SELECT event_type, bucket, max(r) AS r
+  FROM reg_part GROUP BY event_type, bucket
+),
+full_reg AS (
+  SELECT event_type, hv % {HLL_M} AS bucket,
+         max({_hll_rho_case(f"hv >> {HLL_P}")}) AS r
+  FROM h GROUP BY event_type, hv % {HLL_M}
+),
+est AS (
+  SELECT m.event_type,
+         round({_HLL_ALPHA_M2} /
+           (sum(CAST(1 AS DOUBLE) / (1::BIGINT << m.r)) + ({HLL_M} - count(*))), 4)
+           AS merged_raw
+  FROM merged m GROUP BY m.event_type
+),
+est_full AS (
+  SELECT f.event_type,
+         round({_HLL_ALPHA_M2} /
+           (sum(CAST(1 AS DOUBLE) / (1::BIGINT << f.r)) + ({HLL_M} - count(*))), 4)
+           AS full_raw
+  FROM full_reg f GROUP BY f.event_type
+)
+SELECT e.event_type, e.merged_raw, ef.full_raw,
+       (e.merged_raw = ef.full_raw) AS merge_exact
+FROM est e JOIN est_full ef USING (event_type)
+""",
+    description="Incremental view maintenance via sketch mergeability: the "
+    "corpus splits into a base (90%) and a delta (10%), per-partition HLL "
+    "registers are built independently and max-merged, and the merged "
+    "estimate is compared against a from-scratch rebuild — merge_exact "
+    "is TRUE for every group because register max is associative and "
+    "commutative, the property that lets a 100 TB distinct-count "
+    "dashboard absorb a new partition by merging 64 rows instead of "
+    "rescanning the corpus (the sketch analog of "
+    "incremental_rollup_merge's sum-merge). Raw harmonic estimates on "
+    "purpose: the comparison must see identical registers, not identical "
+    "corrections.",
+)
+def q_hll_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 10 == 0).alias("is_delta"),
+        F.expr(
+            f"CAST(conv(substr(md5(concat('hll|', CAST(user_id AS STRING))), "
+            f"1, {_HLL_HEX}), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    rho = F.expr(_hll_rho_case(f"(hv >> {HLL_P})"))
+    base = ev.select(
+        "event_type", "is_delta", (F.col("hv") % HLL_M).alias("bucket"),
+        rho.alias("rho"),
+    )
+    reg_part = base.groupBy("event_type", "is_delta", "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    merged = reg_part.groupBy("event_type", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    full_reg = base.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("r")
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        return regs.groupBy("event_type").agg(
+            F.round(
+                F.expr(f"{_HLL_ALPHA_M2}")
+                / (
+                    F.sum(
+                        F.expr(
+                            "CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), r)"
+                        )
+                    )
+                    + (F.lit(HLL_M) - F.count(F.lit(1)))
+                ),
+                4,
+            ).alias(out)
+        )
+
+    est = estimate(merged, "merged_raw")
+    est_full = estimate(full_reg, "full_raw")
+    return est.join(est_full, "event_type").select(
+        "event_type",
+        "merged_raw",
+        "full_raw",
+        (F.col("merged_raw") == F.col("full_raw")).alias("merge_exact"),
+    )
