@@ -146,6 +146,8 @@ HEADLINE = [
     "vocab_roundtrip_check",
     "dup_span_removal",
     "hard_negative_mining",
+    "pseudonymize_join_audit",
+    "hll_incremental_merge",
 ]
 
 
