@@ -82,3 +82,25 @@ def test_result_order_sentinel(spark):
     )
     out = [r["finish_processing_time_by_worker"] for r in result_order(df).collect()]
     assert out == [5.0, 10.0, -1.0]
+
+
+def test_sliding_index_sql_matches_python_for_all_widths(spark):
+    """Property: for every width 1..10 and array length 0..12, the guarded
+    index expression yields exactly the Python range(1, n - w + 2) — and
+    NEVER a descending array (the sequence(1, n<1) trap)."""
+    from queue_system_simulator_spark.operators.transforms import (
+        sliding_index_sql,
+    )
+
+    rows = [(n, list(map(str, range(n)))) for n in range(0, 13)]
+    df = spark.createDataFrame(rows, "n int, arr array<string>")
+    for width in range(1, 11):
+        got = {
+            r.n: r.idx
+            for r in df.select(
+                "n", F.expr(sliding_index_sql("arr", width)).alias("idx")
+            ).collect()
+        }
+        for n in range(0, 13):
+            want = list(range(1, n - width + 2))
+            assert got[n] == want, (width, n, got[n])
