@@ -660,3 +660,45 @@ def test_attribution_credit_is_conserved(spark, sf_dir):
         .first()[0]
     )
     assert got == want
+
+
+def test_temperature_resample_hits_exact_targets(spark, sf_dir):
+    """Per-source sample sizes equal floor(frac * corpus * sqrt(n)/W) —
+    the exact-allocation contract, and smaller sources get a LARGER
+    sampling rate than bigger ones (the temperature flattening)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans.llm_queries import (
+        TEMP_SAMPLE_FRAC,
+    )
+    from queue_system_simulator_spark.schema import load_table
+
+    per = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    corpus = sum(per.values())
+    w = sum(math.sqrt(n) for n in per.values())
+    got = {
+        r.source: r.cnt
+        for r in QUERIES["temperature_source_resample"]
+        .build(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rates = {}
+    for s, n in per.items():
+        want = math.floor(TEMP_SAMPLE_FRAC * corpus * math.sqrt(n) / w)
+        assert got.get(s, 0) == want, (s, got.get(s, 0), want)
+        if want:
+            rates[s] = want / n
+    small = min(per, key=per.get)
+    big = max(per, key=per.get)
+    if small in rates and big in rates and per[small] < per[big]:
+        assert rates[small] > rates[big]
