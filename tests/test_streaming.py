@@ -370,3 +370,69 @@ def test_state_partitions_is_scoped_to_the_drain(spark, sf_dir):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     QUERIES["streaming_sliding_api_load"].build(spark, sf_dir).count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_lateness_block_prefix_scan_equals_global_window(spark, tmp_path):
+    """The two-phase block prefix max must equal the naive single-window
+    global running max — exercised across MULTIPLE blocks (25k rows over
+    block size 10k), which the sf0.001 corpus never reaches."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from queue_system_simulator_spark.plans import QUERIES
+    from queue_system_simulator_spark.plans.streaming_queries import (
+        LATENESS_BLOCK,
+    )
+
+    n = 25_000
+    assert n > 2 * LATENESS_BLOCK
+    ev = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            # scrambled event times so lateness is nonzero across blocks
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + (F.col("id") * 1_000_003) % 86_400_000_000
+            ).alias("ts"),
+            (F.col("id") % 7).cast("long").alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+                "event_type"
+            ),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    d = str(tmp_path / "lateness")
+    ev.write.parquet(f"{d}/events.parquet")
+    got = {
+        r.event_type: r
+        for r in QUERIES["watermark_lateness_audit"].build(spark, d).collect()
+    }
+    run_max = F.max(F.unix_micros("ts")).over(
+        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = {
+        r.event_type: r
+        for r in ev.select(
+            "event_type", (run_max - F.unix_micros("ts")).alias("late_us")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.round(
+                F.sum((F.col("late_us") > 60_000_000).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("drop_frac_1m"),
+        )
+        .collect()
+    }
+    assert set(got) == set(naive)
+    for et in naive:
+        assert got[et].n == naive[et].n
+        assert got[et].max_late_us == naive[et].max_late_us
+        assert got[et].drop_frac_1m == naive[et].drop_frac_1m
