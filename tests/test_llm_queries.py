@@ -702,3 +702,43 @@ def test_temperature_resample_hits_exact_targets(spark, sf_dir):
     big = max(per, key=per.get)
     if small in rates and big in rates and per[small] < per[big]:
         assert rates[small] > rates[big]
+
+
+def test_k_anon_generalizes_exactly_until_k_holds(spark, tmp_path):
+    """Fixture with a deliberately rare (type, hour) cell: the finest
+    level must fail, the chosen level must be the MINIMAL one whose
+    smallest group reaches k, and emitted groups must sum to the corpus."""
+    import pyspark.sql.functions as F
+
+    from queue_system_simulator_spark.plans import QUERIES
+
+    # 2000 events -> k = max(5, 2000/200) = 10.  Hour 0 gets 1997 spread
+    # evenly; hour 1 gets only 3 -> level 0 fails; at level 1 hour 1
+    # merges into bucket 0 (hours 0-3) -> every group >= 10.
+    ev = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            # epoch chosen so hour-of-day = (id < 1997 ? 0 : 1)
+            + F.when(F.col("id") < 1997, (F.col("id") % 3600) * 1_000_000)
+            .otherwise(F.lit(3_600_000_000) + (F.col("id") % 60) * 1_000_000)
+        ).alias("ts"),
+        (F.col("id") % 5).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    # base epoch 1_700_000_000 s = 2023-11-14T22:13:20Z — shift so hod is 0
+    shift = (24 - 22) * 3600 - 13 * 60 - 20
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros(F.unix_micros("ts") + shift * 1_000_000)
+    )
+    d = str(tmp_path / "kanon")
+    ev.write.parquet(f"{d}/events.parquet")
+    rows = QUERIES["k_anon_generalize"].build(spark, d).collect()
+    assert rows
+    lvl = {r.level for r in rows}
+    assert lvl == {1}, lvl  # minimal satisfying level, not 0 and not 2+
+    assert all(r.k == 10 for r in rows)
+    assert all(r.n >= 10 for r in rows)
+    assert sum(r.n for r in rows) == 2000
