@@ -742,3 +742,38 @@ def test_k_anon_generalizes_exactly_until_k_holds(spark, tmp_path):
     assert all(r.k == 10 for r in rows)
     assert all(r.n >= 10 for r in rows)
     assert sum(r.n for r in rows) == 2000
+
+
+def test_dup_span_removal_drops_shared_windows_only(spark, tmp_path):
+    """Two documents sharing one 8-token span: exactly those 8 positions
+    vanish from both; a unique document passes through byte-identical."""
+    import hashlib
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from queue_system_simulator_spark.plans import QUERIES
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    a_head = " ".join(f"a{i}" for i in range(8))
+    b_tail = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, f"{a_head} {shared}", "en", "s", 1),
+        (2, f"{shared} {b_tail}", "en", "s", 1),
+        (3, " ".join(f"u{i}" for i in range(12)), "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "spans")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in QUERIES["dup_span_removal"].build(spark, d).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1: the shared window covers its last 8 tokens -> head survives
+    assert (got[1].n_removed, got[1].cleaned_hash) == (8, md5(a_head))
+    # doc 2: shared window is its FIRST 8 tokens -> tail survives
+    assert (got[2].n_removed, got[2].cleaned_hash) == (8, md5(b_tail))
+    # doc 3: unique -> untouched
+    assert (got[3].n_removed, got[3].cleaned_hash) == (0, md5(rows[2][1]))
