@@ -4649,3 +4649,74 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("src", "q_label", "neg_id", "neg_label", "sim")
     )
+
+
+CONTAINMENT_TAU = 0.5  # max-side containment threshold
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+WITH sh AS ({{shingles}}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       round(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+       round(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE greatest(CAST(i.n_inter AS DOUBLE) / sa.n_sh,
+               CAST(i.n_inter AS DOUBLE) / sb.n_sh) >= {CONTAINMENT_TAU}
+""".replace("{shingles}", _SHINGLES_SQL),
+    description="N-gram CONTAINMENT near-dup (asymmetric overlap |A∩B|/|A|"
+    "): flags a short document quoted or embedded inside a longer one — "
+    "the subset relationships symmetric Jaccard dilutes below any "
+    "threshold (a 10-shingle quote in a 500-shingle page has Jaccard "
+    "0.02 but containment 1.0). Same posting-list candidate generation "
+    "as ngram_jaccard_pairs (one shuffle of shingle hashes, source-"
+    "blocked, never all-pairs); only the scoring divides by each side's "
+    "own size instead of the union. The dedup-policy companion: "
+    "containment-heavy pairs usually keep the superset document.",
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = sh.groupBy("source", "shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        posting.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "n_sh", "na"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "n_sh", "nb"
+    )
+    ca = F.col("n_inter").cast("double") / F.col("na")
+    cb = F.col("n_inter").cast("double") / F.col("nb")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.greatest(ca, cb) >= CONTAINMENT_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )

@@ -777,3 +777,31 @@ def test_dup_span_removal_drops_shared_windows_only(spark, tmp_path):
     assert (got[2].n_removed, got[2].cleaned_hash) == (8, md5(b_tail))
     # doc 3: unique -> untouched
     assert (got[3].n_removed, got[3].cleaned_hash) == (0, md5(rows[2][1]))
+
+
+def test_containment_flags_quote_that_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a long one: containment 1.0 on the
+    short side while Jaccard stays tiny — the pair must surface."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(88))
+    rows = [
+        (1, quote, "en", "src1", 1),
+        (2, f"{filler} {quote}", "en", "src1", 1),
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "src1", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "contain")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in QUERIES["ngram_containment_pairs"].build(spark, d).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.containment_a == 1.0  # every shingle of the quote is in doc 2
+    assert r.containment_b < 0.2  # and Jaccard-style symmetric view is tiny
+    assert (1, 3) not in got and (2, 3) not in got
