@@ -148,6 +148,8 @@ HEADLINE = [
     "hard_negative_mining",
     "pseudonymize_join_audit",
     "hll_incremental_merge",
+    "ngram_containment_pairs",
+    "sliding_distinct_users",
 ]
 
 

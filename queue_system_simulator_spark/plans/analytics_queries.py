@@ -2293,3 +2293,59 @@ def q_hll_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full_raw",
         (F.col("merged_raw") == F.col("full_raw")).alias("merge_exact"),
     )
+
+
+SLIDE_WIN_US = 3_600_000_000  # 1-hour window
+SLIDE_STEP_US = 900_000_000  # 15-minute slide -> 4 windows per event
+
+
+@register(
+    "sliding_distinct_users",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, user_id, epoch_us(ts) AS tus FROM events
+),
+w AS (
+  SELECT e.event_type, e.user_id,
+         (e.tus // {SLIDE_STEP_US} - k.k) * {SLIDE_STEP_US} AS win_start_us
+  FROM e, (SELECT unnest(generate_series(0, {SLIDE_WIN_US // SLIDE_STEP_US - 1})) AS k) k
+)
+SELECT event_type, CAST(win_start_us AS BIGINT) AS win_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY event_type, win_start_us
+""",
+    description="Batch sliding-window DISTINCT users per event type (1 h "
+    "window, 15 min slide): each event expands to the 4 epoch-aligned "
+    "windows containing it, then one distinct aggregation — the "
+    "dashboard 'hourly active users, refreshed every 15 minutes' query. "
+    "Spark has no RANGE-frame countDistinct, so the explode-to-windows "
+    "formulation IS the scalable shape: fan-out is the constant "
+    "window/slide ratio, the shuffle carries (type, window, user) keys, "
+    "and partial aggregation dedups map-side. The streaming twin is "
+    "streaming_sliding_api_load; swap exact distinct for the portable "
+    "HLL registers (hll_distinct_users) when the dashboard tolerates "
+    "~2% error and the state must stay constant.",
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fanout = SLIDE_WIN_US // SLIDE_STEP_US
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+    )
+    w = ev.select(
+        "event_type",
+        "user_id",
+        "tus",
+        F.explode(F.sequence(F.lit(0), F.lit(fanout - 1))).alias("k"),
+    ).select(
+        "event_type",
+        "user_id",
+        (
+            (F.expr(f"tus div {SLIDE_STEP_US}") - F.col("k"))
+            * SLIDE_STEP_US
+        ).alias("win_start_us"),
+    )
+    return w.groupBy("event_type", F.col("win_start_us").cast("long").alias("win_start_us")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
