@@ -150,6 +150,7 @@ HEADLINE = [
     "hll_incremental_merge",
     "ngram_containment_pairs",
     "sliding_distinct_users",
+    "filter_threshold_sweep",
 ]
 
 

@@ -4720,3 +4720,89 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cb, 6).alias("containment_b"),
         )
     )
+
+
+SWEEP_Q_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7]
+SWEEP_MIN_TOKENS = [20, 40]
+
+
+@register(
+    "filter_threshold_sweep",
+    oracle=f"""
+WITH q AS ({_REGISTRY["doc_quality_score"].oracle}),
+d AS (
+  SELECT q.doc_id, q.quality_score,
+         len(string_split(doc.text, ' ')) AS n_tok
+  FROM q JOIN documents doc ON doc.doc_id = q.doc_id
+),
+grid AS (
+  SELECT t.t AS q_min, m.m AS tok_min
+  FROM (SELECT unnest([{", ".join(str(t) for t in SWEEP_Q_THRESHOLDS)}]) AS t) t,
+       (SELECT unnest([{", ".join(str(m) for m in SWEEP_MIN_TOKENS)}]) AS m) m
+),
+tot AS (SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok FROM d)
+SELECT CAST(g.q_min AS DOUBLE) AS q_min, CAST(g.tok_min AS BIGINT) AS tok_min,
+       CAST(sum(CASE WHEN d.quality_score >= g.q_min AND d.n_tok >= g.tok_min
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       round(CAST(sum(CASE WHEN d.quality_score >= g.q_min AND d.n_tok >= g.tok_min
+                THEN 1 ELSE 0 END) AS DOUBLE) / tot.n_docs, 6) AS doc_keep_frac,
+       round(CAST(sum(CASE WHEN d.quality_score >= g.q_min AND d.n_tok >= g.tok_min
+                THEN d.n_tok ELSE 0 END) AS DOUBLE) / tot.n_tok, 6) AS token_keep_frac
+FROM d, grid g, tot
+GROUP BY g.q_min, g.tok_min, tot.n_docs, tot.n_tok
+""",
+    description="Filter-ablation sweep: for a grid of quality-score and "
+    "minimum-length thresholds, the surviving document count plus doc- "
+    "and token-keep fractions — the table a data team reads before "
+    "committing a filter setting (token fraction matters more than doc "
+    "fraction when long docs dominate the budget). One pass computes "
+    "score and length per doc; the 10-cell grid broadcasts and every "
+    "cell aggregates from the same scan, so sweeping thresholds at "
+    "100 TB costs one corpus read, not one per setting.",
+)
+def q_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        q_doc_quality_score(spark, sf_dir)
+        .join(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+            ),
+            "doc_id",
+        )
+    )
+    grid = spark.createDataFrame(
+        [(q, m) for q in SWEEP_Q_THRESHOLDS for m in SWEEP_MIN_TOKENS],
+        "q_min double, tok_min long",
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+    )
+    keep = (F.col("quality_score") >= F.col("q_min")) & (
+        F.col("n_tok") >= F.col("tok_min")
+    )
+    return (
+        d.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("q_min", "tok_min", "n_docs", "tot_tok")
+        .agg(
+            F.sum(keep.cast("int")).cast("long").alias("n_survivors"),
+            F.round(
+                F.sum(keep.cast("int")).cast("double") / F.col("n_docs"), 6
+            ).alias("doc_keep_frac"),
+            F.round(
+                F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.col("tot_tok"),
+                6,
+            ).alias("token_keep_frac"),
+        )
+        .select(
+            "q_min",
+            "tok_min",
+            "n_survivors",
+            "doc_keep_frac",
+            "token_keep_frac",
+        )
+    )
