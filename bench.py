@@ -151,6 +151,7 @@ HEADLINE = [
     "ngram_containment_pairs",
     "sliding_distinct_users",
     "filter_threshold_sweep",
+    "recency_weighted_value",
 ]
 
 

@@ -2349,3 +2349,64 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("event_type", F.col("win_start_us").cast("long").alias("win_start_us")).agg(
         F.countDistinct("user_id").cast("long").alias("n_users")
     )
+
+
+DECAY_MAX_DAYS = 20  # weights 2^0 .. 2^-20, carried as integer 2^20 units
+
+
+@register(
+    "recency_weighted_value",
+    oracle=f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS mts FROM events),
+e AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS centi,
+         least(CAST((mx.mts - epoch_us(ts)) // 86400000000 AS BIGINT),
+               {DECAY_MAX_DAYS}) AS age_d
+  FROM events, mx
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(centi * (1::BIGINT << CAST({DECAY_MAX_DAYS} - age_d AS INT)))
+            AS BIGINT) AS weighted_units,
+       round(CAST(sum(centi * (1::BIGINT << CAST({DECAY_MAX_DAYS} - age_d AS INT)))
+             AS DOUBLE) / {1 << DECAY_MAX_DAYS} / 100, 6) AS weighted_value
+FROM e GROUP BY event_type
+""",
+    description="Recency-weighted value (exponential half-life decay, "
+    "1-day half-life): each event's centi-value is weighted 2^-age_days "
+    "relative to the corpus' newest event, capped at "
+    f"{DECAY_MAX_DAYS} days. The weight is carried as INTEGER "
+    f"2^{DECAY_MAX_DAYS} units (a shift, not a pow), so the aggregation "
+    "is exact under any partitioning and engine — the portable way to "
+    "run decayed popularity/trending scores at 100 TB where float decay "
+    "sums drift with partition order. The max-timestamp anchor flows as "
+    "a broadcast one-row frame; map-side partial aggregation does the "
+    "rest.",
+)
+def q_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("centi"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    mx = ev.agg(F.max("tus").alias("mts"))
+    # shiftleft's numBits must be a column-free int in the Python API;
+    # express the variable shift in SQL instead
+    units = F.expr(
+        f"centi * shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({DECAY_MAX_DAYS} - least((mts - tus) div 86400000000, "
+        f"{DECAY_MAX_DAYS}) AS INT))"
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("event_type", units.alias("u"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("u").cast("long").alias("weighted_units"),
+            F.round(
+                F.sum("u").cast("double") / (1 << DECAY_MAX_DAYS) / 100, 6
+            ).alias("weighted_value"),
+        )
+    )
