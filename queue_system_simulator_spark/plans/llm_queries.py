@@ -4806,3 +4806,55 @@ def q_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_keep_frac",
         )
     )
+
+
+_CLUSTERS_ORACLE = _REGISTRY["dedup_clusters"].oracle
+_QUALITY_ORACLE = _REGISTRY["doc_quality_score"].oracle
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+WITH clusters AS (SELECT * FROM ({_CLUSTERS_ORACLE}) c),
+quality AS (SELECT * FROM ({_QUALITY_ORACLE}) q),
+ranked AS (
+  SELECT cl.cluster_id, cl.cluster_size, cl.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY q.quality_score DESC, cl.doc_id) AS rn
+  FROM clusters cl JOIN quality q USING (doc_id)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id AS keep_doc_id,
+       quality_score AS keep_quality
+FROM ranked WHERE rn = 1
+""",
+    description="Dedup keep-policy: one canonical document per near-dup "
+    "connected component, chosen by HIGHEST quality score (tie -> lowest "
+    "doc_id) instead of dedup_clusters' arbitrary min-id canonical — the "
+    "policy decision that determines what 100 TB of training data "
+    "actually keeps (boilerplate clusters keep their cleanest member, "
+    "not their first-crawled one). Composes the registered cluster and "
+    "quality plans verbatim (oracle CTEs reuse their SQL), adds one "
+    "per-cluster argmax window; cost over the clustering itself is one "
+    "broadcast-joinable score lookup.",
+)
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    clusters = _REGISTRY["dedup_clusters"].build(spark, sf_dir)
+    quality = q_doc_quality_score(spark, sf_dir)
+    ranked = clusters.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("quality_score"), "doc_id"
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("quality_score").alias("keep_quality"),
+    )
