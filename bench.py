@@ -152,6 +152,8 @@ HEADLINE = [
     "sliding_distinct_users",
     "filter_threshold_sweep",
     "recency_weighted_value",
+    "dedup_keep_best_quality",
+    "topk_with_ties",
 ]
 
 

@@ -856,3 +856,51 @@ def q_asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_horizon, (F.col("next_e_tus") - F.col("tus")).cast("long"))
         .alias("gap_us"),
     )
+
+
+TOPK_K = 10
+
+
+@register(
+    "topk_with_ties",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         rank() OVER (ORDER BY o_totalprice DESC) AS rk
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_centi,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOPK_K}
+""",
+    description=f"Global top-{TOPK_K} orders by price WITH ties (RANK "
+    "semantics, not ROW_NUMBER): the oracle states it as a global rank "
+    "window — which on a cluster is a single-reducer sort — while the "
+    "engine runs the scalable two-phase form: TakeOrdered finds the "
+    f"k-th value (a {TOPK_K}-row driver-free broadcast), a map-side "
+    "filter keeps every row at-or-above that threshold, and only the "
+    "tiny survivor set is ranked. Same rows, same ranks, no global "
+    "sort — the pattern for any 'top N with ties' leaderboard over "
+    "100 TB.",
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    kth = (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(TOPK_K)
+        .agg(F.min("o_totalprice").alias("thresh"))
+    )
+    survivors = orders.crossJoin(F.broadcast(kth)).filter(
+        F.col("o_totalprice") >= F.col("thresh")
+    )
+    return survivors.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_centi"),
+        F.rank()
+        .over(Window.orderBy(F.desc("o_totalprice")))
+        .cast("long")
+        .alias("rk"),
+    ).filter(F.col("rk") <= TOPK_K)
