@@ -154,6 +154,7 @@ HEADLINE = [
     "recency_weighted_value",
     "dedup_keep_best_quality",
     "topk_with_ties",
+    "quality_dup_calibration",
 ]
 
 

@@ -4858,3 +4858,60 @@ def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keep_doc_id"),
         F.col("quality_score").alias("keep_quality"),
     )
+
+
+_DUP_SPAN_ORACLE = _REGISTRY["dup_span_fraction"].oracle
+
+
+@register(
+    "quality_dup_calibration",
+    oracle=f"""
+WITH q AS ({_QUALITY_ORACLE}),
+d AS ({_DUP_SPAN_ORACLE}),
+j AS (
+  SELECT q.doc_id, q.quality_score,
+         CAST(round(coalesce(d.dup_fraction, 0) * 1000000) AS BIGINT) AS dup_ppm,
+         ntile(10) OVER (ORDER BY q.quality_score, q.doc_id) AS decile
+  FROM q LEFT JOIN d USING (doc_id)
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_docs,
+       CAST(sum(CAST(round(quality_score * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_quality_micro,
+       CAST(sum(dup_ppm) AS BIGINT) AS sum_dup_ppm
+FROM j GROUP BY decile
+""",
+    description="Data-centric calibration: quality-score deciles vs span-"
+    "duplication mass — answers 'does the quality filter also remove "
+    "boilerplate, or are the two signals orthogonal?' before stacking "
+    "filters (orthogonal signals both earn their compute; redundant ones "
+    "don't). Composes the registered quality and dup-span plans "
+    "verbatim; per-decile sums are INTEGER micro/ppm units, so the "
+    "aggregation is exact under any partitioning. Docs shorter than one "
+    "window count as zero duplication via the left join.",
+)
+def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = q_doc_quality_score(spark, sf_dir)
+    d = _REGISTRY["dup_span_fraction"].build(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.coalesce(F.col("dup_fraction"), F.lit(0.0)) * 1_000_000)
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+    j = q.join(d, "doc_id", "left").select(
+        "doc_id",
+        "quality_score",
+        F.coalesce(F.col("dup_ppm"), F.lit(0)).alias("dup_ppm"),
+        F.ntile(10)
+        .over(Window.orderBy("quality_score", "doc_id"))
+        .alias("decile"),
+    )
+    return j.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("quality_score") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("sum_quality_micro"),
+        F.sum("dup_ppm").cast("long").alias("sum_dup_ppm"),
+    )
