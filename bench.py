@@ -155,6 +155,8 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "topk_with_ties",
     "quality_dup_calibration",
+    "cross_source_dup_matrix",
+    "user_burstiness",
 ]
 
 

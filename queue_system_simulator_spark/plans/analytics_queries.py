@@ -2410,3 +2410,74 @@ def q_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_value"),
         )
     )
+
+
+@register(
+    "user_burstiness",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+),
+g AS (
+  SELECT user_id,
+         (tus - lag(tus) OVER (PARTITION BY user_id
+                               ORDER BY tus, event_id)) // 1000000 AS gap_s
+  FROM e
+),
+agg AS (
+  SELECT user_id,
+         count(gap_s) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+  FROM g WHERE gap_s IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, sum_gap_s, sum_gap_sq,
+       round(CASE WHEN sum_gap_s > 0 THEN
+         sqrt(greatest(CAST(n_gaps AS DOUBLE) * sum_gap_sq
+                       - CAST(sum_gap_s AS DOUBLE) * sum_gap_s, 0))
+         / sum_gap_s ELSE 0 END, 6) AS gap_cv
+FROM agg
+""",
+    description="Inter-arrival burstiness per user: gaps between "
+    "consecutive events floored to integer seconds, aggregated as exact "
+    "integer (count, sum, sum-of-squares) — the mergeable moment triple "
+    "— with the coefficient of variation derived at the end (CV ~ 1 is "
+    "Poisson-like, >> 1 bursty, ~ 0 metronomic scripted traffic, the "
+    "classic bot signature). Integer moments make the aggregation exact "
+    "under any partitioning; the CV formula is written with identical op "
+    "order on both engines. One user-keyed window plus one partial-agg "
+    "pass.",
+)
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = e.select(
+        "user_id",
+        F.expr("(tus - lag(tus) OVER (PARTITION BY user_id "
+               "ORDER BY tus, event_id)) div 1000000").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    agg = g.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("sum_gap_sq"),
+    )
+    cv = F.when(
+        F.col("sum_gap_s") > 0,
+        F.sqrt(
+            F.greatest(
+                F.col("n_gaps").cast("double") * F.col("sum_gap_sq")
+                - F.col("sum_gap_s").cast("double") * F.col("sum_gap_s"),
+                F.lit(0.0),
+            )
+        )
+        / F.col("sum_gap_s"),
+    ).otherwise(0.0)
+    return agg.select(
+        "user_id", "n_gaps", "sum_gap_s", "sum_gap_sq",
+        F.round(cv, 6).alias("gap_cv"),
+    )

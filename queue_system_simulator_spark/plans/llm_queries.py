@@ -4915,3 +4915,48 @@ def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_quality_micro"),
         F.sum("dup_ppm").cast("long").alias("sum_dup_ppm"),
     )
+
+
+_LSH_PAIRS_ORACLE = _REGISTRY["minhash_lsh_pairs"].oracle
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+WITH pairs AS (SELECT * FROM ({_LSH_PAIRS_ORACLE}) p),
+lab AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_x,
+       greatest(a.source, b.source) AS source_y,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN lab a ON p.doc_a = a.doc_id
+JOIN lab b ON p.doc_b = b.doc_id
+GROUP BY 1, 2
+""",
+    description="Duplication provenance matrix: near-dup candidate pairs "
+    "rolled up by unordered source pair — which sources copy from which "
+    "(mirror sites, syndication, scraper overlap). The actionable "
+    "summary on top of pair-level dedup: a hot off-diagonal cell means "
+    "one source is largely derivable from another and can be dropped "
+    "wholesale before any per-document work. Composes the registered "
+    "MinHash-LSH pair plan verbatim; the rollup joins two broadcast "
+    "doc->source lookups and aggregates a frame that is already tiny.",
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _REGISTRY["minhash_lsh_pairs"].build(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = lab.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    b = lab.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
