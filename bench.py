@@ -157,6 +157,7 @@ HEADLINE = [
     "quality_dup_calibration",
     "cross_source_dup_matrix",
     "user_burstiness",
+    "slo_burn_rate",
 ]
 
 

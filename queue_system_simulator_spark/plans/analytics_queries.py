@@ -2481,3 +2481,91 @@ def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_gaps", "sum_gap_s", "sum_gap_sq",
         F.round(cv, 6).alias("gap_cv"),
     )
+
+
+BURN_SHORT_US = 300_000_000  # 5-minute window
+BURN_LONG_US = 3_600_000_000  # 1-hour window
+
+
+@register(
+    "slo_burn_rate",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS tus,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+),
+s AS (
+  SELECT tus // {BURN_SHORT_US} AS w_short, tus // {BURN_LONG_US} AS w_long,
+         is_err
+  FROM e
+),
+short_w AS (
+  SELECT w_short, w_short // {BURN_LONG_US // BURN_SHORT_US} AS w_long,
+         count(*) AS n, CAST(sum(is_err) AS BIGINT) AS n_err
+  FROM s GROUP BY w_short
+),
+long_w AS (
+  SELECT w_long, count(*) AS n, CAST(sum(is_err) AS BIGINT) AS n_err
+  FROM s GROUP BY w_long
+)
+SELECT CAST(sw.w_short * {BURN_SHORT_US} AS BIGINT) AS window_start_us,
+       CAST(sw.n AS BIGINT) AS n_short, sw.n_err AS err_short,
+       CAST(lw.n AS BIGINT) AS n_long, lw.n_err AS err_long,
+       round(CAST(sw.n_err AS DOUBLE) / sw.n, 6) AS rate_short,
+       round(CAST(lw.n_err AS DOUBLE) / lw.n, 6) AS rate_long,
+       (sw.n_err * lw.n > 2 * lw.n_err * sw.n) AS burn_alert
+FROM short_w sw JOIN long_w lw USING (w_long)
+""",
+    description="SRE-style multi-window SLO burn rate: error fraction per "
+    "5-minute window joined to its enclosing 1-hour window; burn_alert "
+    "fires when the short-window rate exceeds twice the long-window rate "
+    "— the standard fast-burn pager condition — evaluated as an exact "
+    "INTEGER cross-multiplication (n_err_s * n_l > 2 * n_err_l * n_s), "
+    "no float threshold ambiguity between engines. Epoch-aligned window "
+    "ids make the short->long containment a pure integer division, so "
+    "the whole query is two partial-agg passes and one tiny join.",
+)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("tus"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    s = ev.select(
+        F.expr(f"tus div {BURN_SHORT_US}").alias("w_short"),
+        F.expr(f"tus div {BURN_LONG_US}").alias("w_long"),
+        "is_err",
+    )
+    short_w = s.groupBy("w_short").agg(
+        F.first(F.expr(f"w_short div {BURN_LONG_US // BURN_SHORT_US}")).alias(
+            "w_long"
+        ),
+        F.count(F.lit(1)).alias("n_short"),
+        F.sum("is_err").cast("long").alias("err_short"),
+    )
+    long_w = s.groupBy("w_long").agg(
+        F.count(F.lit(1)).alias("n_long"),
+        F.sum("is_err").cast("long").alias("err_long"),
+    )
+    return (
+        short_w.join(F.broadcast(long_w), "w_long")
+        .select(
+            (F.col("w_short") * BURN_SHORT_US).cast("long").alias(
+                "window_start_us"
+            ),
+            F.col("n_short").cast("long").alias("n_short"),
+            "err_short",
+            F.col("n_long").cast("long").alias("n_long"),
+            "err_long",
+            F.round(
+                F.col("err_short").cast("double") / F.col("n_short"), 6
+            ).alias("rate_short"),
+            F.round(
+                F.col("err_long").cast("double") / F.col("n_long"), 6
+            ).alias("rate_long"),
+            (
+                F.col("err_short") * F.col("n_long")
+                > 2 * F.col("err_long") * F.col("n_short")
+            ).alias("burn_alert"),
+        )
+    )
