@@ -158,6 +158,7 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "user_burstiness",
     "slo_burn_rate",
+    "ab_test_conversion",
 ]
 
 

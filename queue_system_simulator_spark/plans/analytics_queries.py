@@ -2569,3 +2569,81 @@ def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burn_alert"),
         )
     )
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(saw) AS BIGINT) AS n_exposed,
+         CAST(sum(CASE WHEN saw = 1 AND bought = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted
+  FROM u GROUP BY arm
+)
+SELECT a.arm, a.n_users, a.n_exposed, a.n_converted,
+       round(CAST(a.n_converted AS DOUBLE) / a.n_exposed, 6) AS conv_rate,
+       (a.n_converted * b.n_exposed > b.n_converted * a.n_exposed)
+         AS beats_other_arm
+FROM arms a JOIN arms b ON a.arm <> b.arm
+""",
+    description="A/B experiment readout: users split into two arms by id "
+    "parity (a deterministic hash split in production), per-arm exposure "
+    "(saw a view) and conversion (exposed AND purchased), with the "
+    "winning-arm comparison as an exact integer cross-multiplication — "
+    "rate ordering with zero float ambiguity between engines. Per-user "
+    "flags are one partial-agg pass; the arm table is two rows, so the "
+    "self-join comparing arms is free. The z-test/CI layer sits on these "
+    "same four integers.",
+)
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("saw"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "bought"
+            ),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"), "saw", "bought"
+        )
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("saw").cast("long").alias("n_exposed"),
+        F.sum(
+            ((F.col("saw") == 1) & (F.col("bought") == 1)).cast("int")
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+    b = arms.select(
+        F.col("arm").alias("b_arm"),
+        F.col("n_exposed").alias("b_exposed"),
+        F.col("n_converted").alias("b_converted"),
+    )
+    return (
+        arms.join(F.broadcast(b), F.col("arm") != F.col("b_arm"))
+        .select(
+            "arm",
+            "n_users",
+            "n_exposed",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_exposed"), 6
+            ).alias("conv_rate"),
+            (
+                F.col("n_converted") * F.col("b_exposed")
+                > F.col("b_converted") * F.col("n_exposed")
+            ).alias("beats_other_arm"),
+        )
+    )
