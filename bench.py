@@ -159,6 +159,7 @@ HEADLINE = [
     "user_burstiness",
     "slo_burn_rate",
     "ab_test_conversion",
+    "transition_prediction_eval",
 ]
 
 

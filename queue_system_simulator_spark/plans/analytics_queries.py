@@ -2647,3 +2647,90 @@ def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("beats_other_arm"),
         )
     )
+
+
+@register(
+    "transition_prediction_eval",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+),
+tr AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS nxt
+  FROM e
+),
+t2 AS (SELECT cur, nxt FROM tr WHERE nxt IS NOT NULL),
+model AS (
+  SELECT cur, nxt AS predicted
+  FROM (
+    SELECT cur, nxt, count(*) AS c,
+           row_number() OVER (PARTITION BY cur ORDER BY count(*) DESC, nxt) AS rn
+    FROM t2 GROUP BY cur, nxt
+  ) WHERE rn = 1
+)
+SELECT t2.cur,
+       m.predicted,
+       count(*) AS n_transitions,
+       CAST(sum(CASE WHEN t2.nxt = m.predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CAST(sum(CASE WHEN t2.nxt = m.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS accuracy
+FROM t2 JOIN model m USING (cur)
+GROUP BY t2.cur, m.predicted
+""",
+    description="Markov next-event baseline eval: the majority-transition "
+    "model (argmax next state per current state, deterministic ties) "
+    "scored against every observed transition — per-state hit counts and "
+    "accuracy, the floor any sequence model must beat (in-sample here; "
+    "production splits fit/eval by the engine's hash splits). One "
+    "user-keyed window builds transitions, the model is a "
+    "states²-bounded aggregate that broadcasts, scoring is a map-side "
+    "probe.",
+)
+def q_transition_prediction_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    t2 = (
+        e.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    model = (
+        t2.groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cur").orderBy(F.desc("c"), "nxt")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        t2.join(F.broadcast(model), "cur")
+        .groupBy("cur", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum((F.col("nxt") == F.col("predicted")).cast("int"))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.sum((F.col("nxt") == F.col("predicted")).cast("int")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+    )
