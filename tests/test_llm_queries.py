@@ -805,3 +805,45 @@ def test_containment_flags_quote_that_jaccard_misses(spark, tmp_path):
     assert r.containment_a == 1.0  # every shingle of the quote is in doc 2
     assert r.containment_b < 0.2  # and Jaccard-style symmetric view is tiny
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_burstiness_moments_merge_across_partitions(spark, sf_dir):
+    """The (n, sum, sum-sq) triple must be partition-merge-invariant:
+    recomputing after an adversarial repartition yields identical rows —
+    the property that makes the aggregation exact at any scale."""
+    a = sorted(
+        QUERIES["user_burstiness"].build(spark, sf_dir).collect(),
+        key=lambda r: r.user_id,
+    )
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        q_user_burstiness,
+    )
+    from queue_system_simulator_spark.schema import load_table
+
+    # same query over a 97-way round-robin repartition of the input
+    ev = load_table(spark, sf_dir, "events").repartition(97)
+    ev.createOrReplaceTempView("__burst_scrambled")
+    try:
+        import queue_system_simulator_spark.schema as sch
+
+        orig = sch.load_table
+
+        def scrambled(s, d, name):
+            return ev if name == "events" else orig(s, d, name)
+
+        sch.load_table = scrambled
+        import queue_system_simulator_spark.plans.analytics_queries as aq
+
+        aq_orig = aq.load_table
+        aq.load_table = scrambled
+        try:
+            b = sorted(
+                q_user_burstiness(spark, sf_dir).collect(),
+                key=lambda r: r.user_id,
+            )
+        finally:
+            sch.load_table = orig
+            aq.load_table = aq_orig
+    finally:
+        spark.catalog.dropTempView("__burst_scrambled")
+    assert a == b
