@@ -279,3 +279,99 @@ def exact_percentiles_distributed(
         vhi = by_rank[hi + 1] / divisor
         out.append(vlo + (vhi - vlo) * frac)
     return out
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list,
+    out_col: str = "global_rn",
+) -> tuple[DataFrame, int]:
+    """Distributed ``row_number() OVER (ORDER BY ...)`` — no global window.
+
+    A global ``row_number`` in Spark plans as a SINGLE-partition window
+    (``WindowExec: No Partition Defined``): every row funnels through one
+    task, which dies at 100 TB.  This computes the identical rank with the
+    two-phase range-partition scheme:
+
+    1. ``repartitionByRange`` on the order columns — Spark's distributed
+       sort machinery (sampled bounds, ordered buckets); the frame is
+       cached so the bucket membership seen by the offset pass is the
+       membership the rank pass reads (recomputation would reuse the same
+       sampled bounds — the partitioner seed is derived from the RDD —
+       but the cache makes it airtight and pays for the second pass);
+    2. a per-bucket count aggregate → cumulative offsets.  Only
+       O(parallelism) rows reach the driver and go back broadcast;
+    3. per-bucket ``row_number`` (every bucket ranks in parallel) plus the
+       bucket's offset ⇒ the global rank.
+
+    ``order_by`` must be a total order (include a unique tiebreaker) or
+    the rank is nondeterministic — same contract as the window it
+    replaces.  Accepts column names or Column expressions including sort
+    orders (``F.desc(...)``); the same expressions drive both the range
+    partitioner and the in-bucket window, which is what makes the two
+    ranks compose.
+
+    Returns ``(frame with out_col added, total row count)`` — the count
+    falls out of step 2 for free and callers (exact ntile) need it.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    slots = max(int(spark.sparkContext.defaultParallelism), 1)
+    parts = (
+        df.repartitionByRange(slots, *order_by)
+        .withColumn("__gr_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {
+        r["__gr_pid"]: r["c"]
+        for r in parts.groupBy("__gr_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets = []
+    acc = 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__gr_pid int, __gr_off long"
+    )
+    w = Window.partitionBy("__gr_pid").orderBy(*order_by)
+    ranked = (
+        parts.withColumn("__gr_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__gr_pid")
+        .withColumn(out_col, F.col("__gr_off") + F.col("__gr_rn"))
+        .drop("__gr_pid", "__gr_rn", "__gr_off")
+    )
+    return ranked, acc
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_by: list,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Distributed exact ``ntile(n) OVER (ORDER BY ...)``.
+
+    Reproduces SQL ntile semantics bit-for-bit — with ``n`` rows the first
+    ``n mod k`` buckets get ``ceil(n/k)`` rows, the rest ``floor(n/k)`` —
+    on top of :func:`global_row_number`, so no single-partition window.
+    The bucket is a map-side closed-form function of the global rank.
+    """
+    ranked, n = global_row_number(df, order_by, out_col="__nt_rn")
+    base = n // n_buckets
+    rem = n % n_buckets
+    big = base + 1
+    cut = rem * big  # ranks 1..cut live in the first `rem` big buckets
+    r = F.col("__nt_rn")
+    if base == 0:
+        bucket = r  # fewer rows than buckets: bucket == rank
+    else:
+        bucket = F.when(
+            r <= F.lit(cut), ((r - 1) / F.lit(big)).cast("long") + 1
+        ).otherwise(
+            F.lit(rem) + ((r - 1 - F.lit(cut)) / F.lit(base)).cast("long") + 1
+        )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__nt_rn")

@@ -3764,6 +3764,26 @@ def q_quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _vocab_with_ids(tok: DataFrame) -> DataFrame:
+    """Frequency-ranked vocab ids (desc count, lexicographic ties).
+
+    The rank over the whole vocabulary is the two-phase range-partition
+    rank (statistics.global_row_number) — per-bucket row_number + bucket
+    offsets — NOT a global window: a web-scale corpus has an unbounded
+    distinct-token set, and a single-partition sort of it is the one
+    non-scalable step a tokenizer-training plan can hide.
+    """
+    from queue_system_simulator_spark.operators.statistics import (
+        global_row_number,
+    )
+
+    counts = tok.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    ranked, _n = global_row_number(
+        counts, [F.desc("c"), F.col("g")], out_col="id"
+    )
+    return ranked.select("g", F.col("id").cast("int").alias("id"))
+
+
 @register(
     "vocab_encode_ids",
     oracle="""
@@ -3798,17 +3818,7 @@ def q_vocab_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("i0", "g"))
         .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
     )
-    from pyspark.sql.window import Window
-
-    vocab = (
-        tok.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "id",
-            F.row_number().over(Window.orderBy(F.desc("c"), "g")),
-        )
-        .select("g", "id")
-    )
+    vocab = _vocab_with_ids(tok)
     enc = tok.join(F.broadcast(vocab), "g")
     return enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -4399,22 +4409,13 @@ FROM documents d JOIN dec USING (doc_id)
     "the check costs two map-side passes at any corpus size.",
 )
 def q_vocab_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "g")
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
-    vocab = (
-        tok.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "id", F.row_number().over(Window.orderBy(F.desc("c"), "g"))
-        )
-        .select("g", "id")
-    )
+    vocab = _vocab_with_ids(tok)
     enc = tok.join(F.broadcast(vocab), "g").select("doc_id", "i", "id")
     dec = (
         enc.join(F.broadcast(vocab), "id")
@@ -4891,7 +4892,7 @@ FROM j GROUP BY decile
     "window count as zero duplication via the left join.",
 )
 def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from queue_system_simulator_spark.operators.statistics import exact_ntile
 
     q = q_doc_quality_score(spark, sf_dir)
     d = _REGISTRY["dup_span_fraction"].build(spark, sf_dir).select(
@@ -4900,13 +4901,18 @@ def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_ppm"),
     )
-    j = q.join(d, "doc_id", "left").select(
-        "doc_id",
-        "quality_score",
-        F.coalesce(F.col("dup_ppm"), F.lit(0)).alias("dup_ppm"),
-        F.ntile(10)
-        .over(Window.orderBy("quality_score", "doc_id"))
-        .alias("decile"),
+    # exact ntile(10) via the two-phase range-partition rank — identical
+    # to the global ntile window but with no single-partition sort, so
+    # the whole corpus never funnels through one task
+    j = exact_ntile(
+        q.join(d, "doc_id", "left").select(
+            "doc_id",
+            "quality_score",
+            F.coalesce(F.col("dup_ppm"), F.lit(0)).alias("dup_ppm"),
+        ),
+        10,
+        [F.col("quality_score"), F.col("doc_id")],
+        out_col="decile",
     )
     return j.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_docs"),

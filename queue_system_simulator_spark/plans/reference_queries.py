@@ -526,15 +526,29 @@ FROM ({_SIM_RESULTS_SQL})
 """,
     description="D2: deterministic result ordering with the −1 sentinel "
     "sorting last, tie-break by arrival then seq (reference "
-    "/root/reference/src/simulator.py:260-265).",
+    "/root/reference/src/simulator.py:260-265). The total order D2 "
+    "demands is computed with the two-phase range-partition rank "
+    "(statistics.global_row_number) — per-bucket row_number plus bucket "
+    "offsets — not a single-partition window, so no one task ever holds "
+    "every result row.",
 )
 def q_result_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.operators.statistics import (
+        global_row_number,
+    )
+
     df = _synthetic_sim_results(spark, sf_dir)
     key = F.when(F.col("finish_us") == -1, F.lit(2**63 - 1)).otherwise(
         F.col("finish_us")
     )
-    w = Window.orderBy(key, "arrival_us", "seq")
-    return df.select("seq", F.row_number().over(w).alias("result_rank"))
+    ranked, _n = global_row_number(
+        df.withColumn("__k", key),
+        [F.col("__k"), F.col("arrival_us"), F.col("seq")],
+        out_col="result_rank",
+    )
+    return ranked.select(
+        "seq", F.col("result_rank").cast("int").alias("result_rank")
+    )
 
 
 # --------------------------------------------------------------------------

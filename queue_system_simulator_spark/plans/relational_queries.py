@@ -300,17 +300,24 @@ SELECT CAST(decile AS INT) AS decile,
 FROM d
 GROUP BY decile
 """,
-    description="Decile analysis: ntile(10) over order value (deterministic "
-    "tie-break on orderkey) → per-decile revenue concentration. The global "
-    "ntile needs a total order — fine for ranked reporting; at 100 TB "
-    "switch to approx quantile boundaries + a bucket join.",
+    description="Decile analysis: exact ntile(10) over order value "
+    "(deterministic tie-break on orderkey) → per-decile revenue "
+    "concentration. The deciles come from the two-phase range-partition "
+    "rank (statistics.exact_ntile): per-bucket row_number + bucket "
+    "offsets, bucket→decile closed-form — identical output to a global "
+    "ntile window with no single-partition sort, so the plan survives "
+    "100 TB of orders.",
 )
 def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.operators.statistics import exact_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        exact_ntile(
+            orders.select("o_totalprice", "o_orderkey"),
+            10,
+            [F.col("o_totalprice"), F.col("o_orderkey")],
+            out_col="decile",
         )
         .groupBy("decile")
         .agg(

@@ -193,3 +193,78 @@ class TestExactPercentilesDistributed:
             vals, "v", ps=(0.5, 0.75, 0.9, 0.99), divisor=1_000_000.0
         )
         assert [round(x, 6) for x in got] == [0.45, 1.1, 1.46, 1.676]
+
+
+class TestGlobalRank:
+    """Two-phase global rank / ntile vs the single-partition window truth."""
+
+    def _sample(self, spark, n=523, seed=11):
+        import random
+
+        from pyspark.sql import functions as F
+
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randrange(50), rng.choice("abcde") * (i % 3 + 1))
+            for i in range(n)
+        ]
+        # 16 uneven partitions so bucket offsets actually matter
+        return spark.createDataFrame(
+            rows, "id long, v long, s string"
+        ).repartition(16, F.col("id") % 7)
+
+    def test_global_row_number_matches_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from queue_system_simulator_spark.operators.statistics import (
+            global_row_number,
+        )
+
+        df = self._sample(spark)
+        order = [F.desc("v"), F.col("s"), F.col("id")]
+        got, n = global_row_number(df, order, out_col="rn")
+        assert n == df.count()
+        truth = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        )
+        assert (
+            got.select("id", "rn")
+            .exceptAll(truth.select("id", "rn"))
+            .count()
+            == 0
+        )
+        assert got.count() == n
+
+    def test_exact_ntile_matches_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from queue_system_simulator_spark.operators.statistics import (
+            exact_ntile,
+        )
+
+        for n_rows, k in [(523, 10), (520, 4), (7, 10), (1, 3)]:
+            df = self._sample(spark, n=n_rows)
+            order = [F.col("v"), F.col("id")]
+            got = exact_ntile(df, k, order, out_col="b")
+            truth = df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy(*order))
+            )
+            assert (
+                got.select("id", "b")
+                .exceptAll(truth.select("id", "b"))
+                .count()
+                == 0
+            ), (n_rows, k)
+
+    def test_global_row_number_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from queue_system_simulator_spark.operators.statistics import (
+            global_row_number,
+        )
+
+        empty = spark.range(0).select(F.col("id").alias("v"))
+        got, n = global_row_number(empty, [F.col("v")], out_col="rn")
+        assert n == 0 and got.count() == 0
