@@ -18,81 +18,90 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 )
 
 #: The driver grades exactly the FIRST 50 entries of ``queries()`` in
-#: registration order, so ordering is part of the contract.  Round-4
-#: rotation: cumulative driver-graded coverage after rounds 1-3 is
-#: 106/179 registered queries; this window keeps just 3 continuity
-#: anchors (ingest + the flagship stats + the DES kernel, all green in
-#: every prior round) and spends 47 slots on never-yet-graded queries:
-#: the 10 remaining TPC-H patterns, the extension surfaces (custom Python
-#: data source batch+stream, ORC, UDTF, Arrow UDAF, chained stateful
-#: streaming, sharded-exact percentiles), relational/analytics breadth
-#: (grouping sets, SCD2, gap-fill, OHLC, snapshot diff, skew salting,
-#: window showcases, DQ audits), and the LLM-curation families with no
-#: graded sibling (Gopher flags, SemDeDup, fuzzy dedup, perplexity
-#: filter, SQ8, IVF recall, incremental MinHash, vocab encode, LSH
-#: recall eval, stratified split, embedding outliers, PQ ADC).
+#: registration order, so ordering is part of the contract.  Round-5
+#: rotation: cumulative driver-green coverage after rounds 1-4 is
+#: 142/209 registered queries, with 67 lacking a current green row
+#: (tools/coverage_ledger.py).  This window keeps just 2 continuity
+#: anchors (ingest + the DES kernel, green in every prior round) and
+#: spends 48 slots on queries without a green driver row, prioritizing
+#: (a) the 10 analytics queries whose only driver record is a stale
+#: round-1 environment error (`PARQUET_TYPE_ILLEGAL` on the old events
+#: parquet — fixed in r02, re-verified locally every round since) and
+#: (b) one-or-more members of every still-ungraded family: sketches
+#: (HLL/CMS), privacy (k-anon, pseudonymization), MinHash/SimHash/IVF/PQ
+#: building blocks + the composed IVF-PQ stack, multimodal aHash dedup,
+#: dedup policy/span-removal/containment, graph triangles, as-of joins,
+#: top-k with ties, the watermark audit, and the two-phase-rank rewrites
+#: from this round (order_value_deciles, quality_dup_calibration,
+#: vocab_roundtrip_check) so their new partition-safe plans get graded.
 #: Everything rotated OUT was driver-green in a prior round
-#: (CORRECTNESS_r01/r02/r03) and stays registered + locally gated
-#: (tools/check_oracle.py); cumulative coverage after this window:
-#: ~153/179.
+#: (CORRECTNESS_r01..r04) and stays registered + locally gated
+#: (tools/check_oracle.py).  Still deferred to round 6 (all local-green):
+#: 15 oracle-backed (showcases, calendar/moments profiles, corpus mix,
+#: context windows, hard negatives, threshold sweep, cross-source dup
+#: matrix, weekly WoW, shuffle-hash join demo, sampled count,
+#: conversion-latency quantiles, variant props) + the 4 rows-only kernel
+#: RNG runs.  Cumulative after this window: ~190/209.
 DRIVER_WINDOW = [
-    # --- continuity anchors (green in r01+r02+r03) ---
+    # --- continuity anchors (green in r01+r02+r03+r04) ---
     "ingest_requests",
-    "fifo_stats",
     "kernel_fifo_k1",
-    # --- remaining TPC-H patterns (completes driver-graded 22/22) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_late_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_promotable_suppliers",
-    "tpch_q22_dormant_customers",
-    # --- extension surfaces: custom Python data source (batch + stream),
-    # ORC sink/source, Python UDTF, Arrow UDAF, chained stateful
-    # streaming, sharded-exact percentile path ---
-    "pyds_request_log",
-    "pyds_request_log_stream",
-    "orc_roundtrip",
-    "udtf_event_run_lengths",
-    "weighted_value_mean_udaf",
-    "streaming_join_then_window",
-    "fifo_stats_distributed",
-    # --- relational / analytics breadth ---
-    "grouping_sets_revenue",
-    "rollup_revenue",
-    "window_function_showcase",
-    "window_topn_orders",
-    "setops_customer_segments",
-    "skew_salted_user_totals",
-    "scd2_user_history",
-    "timeseries_gap_fill",
-    "snapshot_diff_user_state",
-    "events_hourly_ohlc",
-    "incremental_rollup_merge",
-    "seasonal_naive_forecast_eval",
-    "dq_expectations_report",
-    "subquery_rewrites_demo",
-    "user_event_unpivot",
-    # --- LLM-curation families with no graded sibling ---
-    "gopher_quality_flags",
-    "priority_sample_by_source",
-    "dup_span_fraction",
-    "semdedup_prune",
-    "fuzzy_edit_dedup_pairs",
-    "ppl_quantile_filter",
-    "embed_sq8_quantize",
-    "ivf_recall_at_k",
-    "incremental_minhash_candidates",
-    "quality_rank_by_source",
-    "vocab_encode_ids",
-    "lsh_recall_eval",
-    "stratified_exact_split",
-    "embed_outlier_flags",
-    "pq_adc_topk",
+    # --- the 10 stale-r01-error analytics queries (env error fixed in
+    # r02; these look like failures on the scoreboard until re-graded) ---
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "value_histogram",
+    "rate_anomalies",
+    "event_type_transitions",
+    "events_null_audit",
+    "latest_event_per_user",
+    "value_percentiles_by_type",
+    "user_event_pivot",
+    "session_conversion",
+    # --- sketches / streaming-adjacent analytics ---
+    "hll_distinct_users",
+    "cms_heavy_hitters",
+    "hll_incremental_merge",
+    "sliding_distinct_users",
+    "watermark_lateness_audit",
+    # --- privacy / governance ---
+    "k_anon_generalize",
+    "pseudonymize_join_audit",
+    # --- product analytics breadth ---
+    "attribution_linear_credit",
+    "recency_weighted_value",
+    "user_burstiness",
+    "slo_burn_rate",
+    "ab_test_conversion",
+    "transition_prediction_eval",
+    "skew_diagnosis_report",
+    "topk_with_ties",
+    "asof_join_next_error",
+    # --- relational breadth ---
+    "customers_without_orders",
+    "order_value_deciles",
+    "order_line_summary",
+    "referential_integrity_audit",
+    "nation_revenue_share",
+    "jsonl_roundtrip",
+    # --- dedup / similarity building blocks and stacks ---
+    "minhash_signatures",
+    "simhash_signatures",
+    "embed_ivf_centroids",
+    "pq_codebook_assign",
+    "ivf_pq_topk",
+    "pq_recall_at_k",
+    "hybrid_rrf_topk",
+    "pair_graph_triangles",
+    "ngram_containment_pairs",
+    "dup_span_removal",
+    "dedup_keep_best_quality",
+    "quality_dup_calibration",
+    "multimodal_ahash_dedup",
+    # --- corpus curation ---
+    "temperature_source_resample",
+    "corpus_drift_tokens",
+    "vocab_roundtrip_check",
 ]
 
 
