@@ -1380,3 +1380,58 @@ def q_tpch_q20_promotable_suppliers(
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "tpch_q16_part_supplier_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    description="TPC-H Q16 (parts/supplier relationship) adapted to this "
+    "schema: the partsupp relation is implied by lineitem shipments, so "
+    "count(DISTINCT supplier) per (brand, type, size) runs directly on the "
+    "part-filtered fact rows — distinct-on-suppkey collapses duplicate "
+    "(part, supplier) pairs for free, no pre-DISTINCT shuffle. The "
+    "complaints exclusion (reference Q16's NOT IN over s_comment, here "
+    "negative-balance suppliers) is a broadcast LEFT ANTI join; the "
+    "brand/type/size predicates push to the part scan and ride a broadcast "
+    "join, so the only fact shuffle is the final distinct-count "
+    "aggregation, which Spark runs two-phase (partial per-partition "
+    "distinct before the group-key exchange).",
+)
+def q_tpch_q16_part_supplier_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#4")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -340,3 +340,26 @@ def test_dsir_model_tables_broadcast(spark, sf_dir):
     # bucket model tables (<=256 rows) join the feature stream by broadcast
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    # bucketBy(8, orderkey) on both sides: the SortMergeJoin must read the
+    # buckets co-located — the ONLY exchange in the plan is the final
+    # 35-group aggregation, never a fact-table shuffle
+    import re
+
+    plan = _executed_plan(QUERIES["bucketed_join_orders"].build(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_tpch_q16_broadcasts_dims_and_counts_two_phase(spark, sf_dir):
+    plan = _executed_plan(
+        QUERIES["tpch_q16_part_supplier_counts"].build(spark, sf_dir)
+    )
+    # part filter + complaints exclusion ride broadcast joins; the fact
+    # table is never shuffled except for the distinct-count aggregation
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
