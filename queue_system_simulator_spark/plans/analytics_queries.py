@@ -2734,3 +2734,65 @@ def q_transition_prediction_eval(
             ).alias("accuracy"),
         )
     )
+
+
+@register(
+    "mad_robust_anomalies",
+    oracle="""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, round(abs(e.value - m.med), 6) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       min(d.med) AS med,
+       min(m2.mad) AS mad,
+       CAST(sum(CASE WHEN d.dev > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+GROUP BY d.event_type
+""",
+    description="Robust anomaly detection via median absolute deviation — "
+    "the heavy-tail-safe alternative to the z-score monitor "
+    "(rate_anomalies): per-type exact median, absolute deviations, exact "
+    "MAD, and a 3xMAD outlier count. Both medians shard per group "
+    "(grouped exact percentiles parallelize across types), the tiny "
+    "per-type stats ride broadcast joins back onto the fact rows, and "
+    "medians/deviations are rounded to 6 decimals BEFORE the threshold "
+    "compare so interpolation noise cannot split the engines.",
+)
+def q_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5D)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

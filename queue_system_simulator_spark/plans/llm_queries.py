@@ -4966,3 +4966,233 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tok_nz AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_nz GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+),
+avgdl AS (
+  SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) /
+         (SELECT n_docs FROM stats) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok_nz
+  WHERE term IN ('hash', 'merge', 'vector') GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok_nz
+  WHERE term IN ('hash', 'merge', 'vector') GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(CAST(1 AS DOUBLE) +
+              ((SELECT n_docs FROM stats) - df.df + CAST(0.5 AS DOUBLE)) /
+              (df.df + CAST(0.5 AS DOUBLE)))
+           * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+              (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+               (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM avgdl)))))
+           * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS micro
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+)
+SELECT doc_id, round(CAST(sum(micro) AS BIGINT) / 1e6, 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+    description="BM25 top-10 retrieval (k1=1.2, b=0.75) for a fixed query "
+    "term set — the lexical side of a hybrid search stack: document "
+    "lengths and term frequencies are two partial aggregations of one "
+    "tokenize pass with the query-term filter applied BEFORE the tf "
+    "shuffle, document frequencies and the (N, avgdl) scalars ride "
+    "broadcast joins, and per-term scores are rounded into integer "
+    "micro-units before the per-doc sum so float addition order cannot "
+    "split the engines. Global top-10 runs as TakeOrdered (score desc, "
+    "doc_id tie-break) — distributed, never a single-partition window.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["hash", "merge", "vector"]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    avgdl = (
+        dl.agg(F.sum("dl").cast("long").cast("double").alias("sum_dl"))
+        .join(F.broadcast(n_docs))
+        .select((F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    )
+    tok_q = tok.filter(F.col("term").isin(terms))
+    tf = tok_q.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok_q.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log(
+        F.lit(1).cast("double")
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5).cast("double"))
+        / (F.col("df") + F.lit(0.5).cast("double"))
+    )
+    denom = tfd + F.lit(1.2).cast("double") * (
+        F.lit(0.25).cast("double")
+        + F.lit(0.75).cast("double") * (dld / F.col("avgdl"))
+    )
+    micro = F.round(
+        idf
+        * ((tfd * F.lit(2.2).cast("double")) / denom)
+        * F.lit(1000000).cast("double"),
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .join(F.broadcast(avgdl))
+        .select("doc_id", micro.alias("micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("micro").cast("long") / F.lit(1e6), 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+_CUR_NIB2_DUCK = (
+    "((strpos('0123456789abcdef', substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "curation_pipeline_report",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars, lang, md5(text) AS h,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+         len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+           AS n_dist,
+         {_CUR_NIB2_DUCK} AS nib2
+  FROM documents
+), f AS (
+  SELECT *, (lang = 'en') AS f1,
+         (lang = 'en' AND n_tok BETWEEN 30 AND 1000
+          AND n_dist * 10 >= n_tok * 3) AS f2
+  FROM d
+), dd AS (
+  SELECT f.*,
+         (f2 AND doc_id = min(CASE WHEN f2 THEN doc_id END)
+                   OVER (PARTITION BY h)) AS f3
+  FROM f
+), g AS (SELECT dd.*, (f3 AND nib2 < 230) AS f4 FROM dd)
+SELECT 0 AS stage_no, 'ingest' AS stage, count(*) AS n_docs,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars FROM g
+UNION ALL
+SELECT 1, 'lang_en', count(*) FILTER (WHERE f1),
+       CAST(coalesce(sum(n_chars) FILTER (WHERE f1), 0) AS BIGINT) FROM g
+UNION ALL
+SELECT 2, 'quality', count(*) FILTER (WHERE f2),
+       CAST(coalesce(sum(n_chars) FILTER (WHERE f2), 0) AS BIGINT) FROM g
+UNION ALL
+SELECT 3, 'exact_dedup', count(*) FILTER (WHERE f3),
+       CAST(coalesce(sum(n_chars) FILTER (WHERE f3), 0) AS BIGINT) FROM g
+UNION ALL
+SELECT 4, 'train_split', count(*) FILTER (WHERE f4),
+       CAST(coalesce(sum(n_chars) FILTER (WHERE f4), 0) AS BIGINT) FROM g
+""",
+    description="End-to-end curation funnel as ONE query — the shape a "
+    "100 TB training-data build actually runs: ingest -> declared-language "
+    "filter -> quality gate (token count band + integer-algebra "
+    "distinct-token ratio, no float compare) -> exact dedup (min doc per "
+    "md5(text), window partitioned BY HASH — never global) -> 90% "
+    "hash-split train selection. Every stage is a flag column computed in "
+    "one pass over the corpus (one scan + one dedup shuffle on the text "
+    "hash), and the report aggregates all five survivor counts from that "
+    "single lineage via conditional sums + stack() — not five scans. "
+    "Deterministic md5 split (first two nibbles < 230 = 89.8%) matches "
+    "the engine's other hash-split operators.",
+)
+def q_curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang", "text"
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("nib2"),
+    )
+    f1 = F.col("lang") == "en"
+    f2 = (
+        f1
+        & F.col("n_tok").between(30, 1000)
+        & (F.col("n_dist") * 10 >= F.col("n_tok") * 3)
+    )
+    f = d.select("*", f1.alias("f1"), f2.alias("f2"))
+    min_kept = F.min(F.when(F.col("f2"), F.col("doc_id"))).over(
+        Window.partitionBy("h")
+    )
+    dd = f.select(
+        "*", (F.col("f2") & (F.col("doc_id") == min_kept)).alias("f3")
+    )
+    g = dd.select("*", (F.col("f3") & (F.col("nib2") < 230)).alias("f4"))
+
+    def _n(flag):
+        return F.sum(F.when(flag, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+    def _c(flag):
+        return F.coalesce(
+            F.sum(F.when(flag, F.col("n_chars"))), F.lit(0)
+        ).cast("long")
+
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("c0"),
+        _n(F.col("f1")).alias("n1"),
+        _c(F.col("f1")).alias("c1"),
+        _n(F.col("f2")).alias("n2"),
+        _c(F.col("f2")).alias("c2"),
+        _n(F.col("f3")).alias("n3"),
+        _c(F.col("f3")).alias("c3"),
+        _n(F.col("f4")).alias("n4"),
+        _c(F.col("f4")).alias("c4"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "0, 'ingest',      n0, c0, "
+        "1, 'lang_en',     n1, c1, "
+        "2, 'quality',     n2, c2, "
+        "3, 'exact_dedup', n3, c3, "
+        "4, 'train_split', n4, c4"
+        ") AS (stage_no, stage, n_docs, total_chars)"
+    )
