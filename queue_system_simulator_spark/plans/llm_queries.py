@@ -5009,10 +5009,11 @@ FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10
 """,
     description="BM25 top-10 retrieval (k1=1.2, b=0.75) for a fixed query "
-    "term set — the lexical side of a hybrid search stack: document "
-    "lengths and term frequencies are two partial aggregations of one "
-    "tokenize pass with the query-term filter applied BEFORE the tf "
-    "shuffle, document frequencies and the (N, avgdl) scalars ride "
+    "term set — the lexical side of a hybrid search stack: ONE corpus "
+    "tokenize pass feeds a single (doc, term) aggregation from which "
+    "document lengths, term frequencies, and document frequencies are all "
+    "derived as re-aggregations of the reduced frame (ReuseExchange — the "
+    "corpus is scanned once), the (N, avgdl) scalars and df ride "
     "broadcast joins, and per-term scores are rounded into integer "
     "micro-units before the per-doc sum so float addition order cannot "
     "split the engines. Global top-10 runs as TakeOrdered (score desc, "
@@ -5024,7 +5025,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE corpus tokenize + one (doc, term) shuffle; dl/tf/df are all
+    # re-aggregations of this reduced frame (ReuseExchange at runtime)
+    base = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_all")
+    )
+    dl = base.groupBy("doc_id").agg(F.sum("tf_all").cast("long").alias("dl"))
     n_docs = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
@@ -5033,10 +5039,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_docs))
         .select((F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
     )
-    tok_q = tok.filter(F.col("term").isin(terms))
-    tf = tok_q.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok_q.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    tf = base.filter(F.col("term").isin(terms)).select(
+        "doc_id", "term", F.col("tf_all").alias("tf")
+    )
+    # (doc_id, term) is unique in base, so count(*) == countDistinct(doc)
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
