@@ -160,6 +160,12 @@ HEADLINE = [
     "slo_burn_rate",
     "ab_test_conversion",
     "transition_prediction_eval",
+    "tpch_q16_part_supplier_counts",
+    "bucketed_join_orders",
+    "bm25_topk",
+    "curation_pipeline_report",
+    "mad_robust_anomalies",
+    "partition_pruned_scan",
 ]
 
 

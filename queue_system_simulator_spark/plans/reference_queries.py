@@ -1169,3 +1169,41 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_centi"
         ),
     )
+
+
+@register(
+    "partition_pruned_scan",
+    oracle="""
+SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi
+FROM events
+WHERE event_type IN ('purchase', 'error')
+GROUP BY CAST(EXTRACT(hour FROM ts) AS INT)
+""",
+    description="Partition pruning as a graded query — the 100 TB data-"
+    "layout contract: events are written hive-partitioned by event_type "
+    "(the write is reused across runs via the fixed scratch dir), then "
+    "read back with a filter ON THE PARTITION COLUMN. Catalyst resolves "
+    "the filter at planning time against the directory listing, so only "
+    "the 2 matching partitions' files are ever opened — the scan carries "
+    "PartitionFilters and PartitionCount: 2 (plan-guarded in "
+    "tests/test_plans.py), and the other partitions cost zero I/O. The "
+    "oracle applies the same predicate to the original table, so pruning "
+    "that dropped or leaked rows would break the hash.",
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.sources.sink import write_datalake
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out = _scratch_dir("part_prune", sf_dir)
+    write_datalake(ev, out, partition_by=["event_type"], sort_within=["ts"])
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    return back.groupBy(F.hour("ts").cast("int").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_centi"),
+    )

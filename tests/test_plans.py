@@ -363,3 +363,24 @@ def test_tpch_q16_broadcasts_dims_and_counts_two_phase(spark, sf_dir):
     # table is never shuffled except for the distinct-count aggregation
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_partition_pruned_scan_reads_two_partitions(spark, sf_dir):
+    df = QUERIES["partition_pruned_scan"].build(spark, sf_dir)
+    plan = _executed_plan(df)
+    # the predicate is resolved against the directory listing, not rows
+    assert "PartitionFilters: [event_type" in plan
+    assert "PushedFilters: [In(event_type" not in plan
+    # pruning is non-trivial: the layout on disk has MORE partitions than
+    # the two the filter selects, so the directory-listing resolution
+    # actually skips data
+    import os
+    import re
+
+    loc = re.search(r"InMemoryFileIndex\(1 paths\)\[file:([^\]]+)\]", plan)
+    assert loc, "scan location missing from plan"
+    parts = [
+        d for d in os.listdir(loc.group(1)) if d.startswith("event_type=")
+    ]
+    assert len(parts) > 2
+    assert {"event_type=purchase", "event_type=error"} <= set(parts)

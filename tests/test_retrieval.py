@@ -1,0 +1,82 @@
+"""Round-5 additions: BM25 retrieval, the curation funnel, the bucketed
+co-located join, and MAD anomalies.
+
+Each test targets the property that makes the operator safe at cluster
+scale: partitioning-independence (results must not depend on how rows are
+laid out across tasks) and funnel monotonicity (each curation stage can
+only remove documents).
+"""
+
+from __future__ import annotations
+
+from queue_system_simulator_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bm25_independent_of_shuffle_partitions(spark):
+    # integer micro-unit summation makes the per-doc score invariant to
+    # float addition order — the same top-10 must come out at any
+    # parallelism
+    base = _rows(QUERIES["bm25_topk"].build(spark, SF))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = _rows(QUERIES["bm25_topk"].build(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+    assert len(base) == 10
+    # scores are non-negative and the cut is taken descending
+    scores = sorted((s for _, s in base), reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_curation_funnel_is_monotone(spark):
+    rows = {r.stage_no: r for r in QUERIES["curation_pipeline_report"].build(spark, SF).collect()}
+    assert [rows[i].stage for i in range(5)] == [
+        "ingest",
+        "lang_en",
+        "quality",
+        "exact_dedup",
+        "train_split",
+    ]
+    for i in range(4):
+        assert rows[i + 1].n_docs <= rows[i].n_docs
+        assert rows[i + 1].total_chars <= rows[i].total_chars
+    assert rows[0].n_docs > 0
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    got = _rows(QUERIES["bucketed_join_orders"].build(spark, SF))
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+    want = _rows(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(price * disc), 2).cast("double").alias("revenue"),
+        )
+    )
+    assert got == want
+
+
+def test_mad_outliers_bounded_and_median_robust(spark):
+    rows = QUERIES["mad_robust_anomalies"].build(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers <= r.n
+        # a 3xMAD fence on any distribution keeps the outlier share small
+        assert r.n_outliers <= 0.5 * r.n
