@@ -166,6 +166,8 @@ HEADLINE = [
     "curation_pipeline_report",
     "mad_robust_anomalies",
     "partition_pruned_scan",
+    "textlog_parse",
+    "binaryfile_ingest",
 ]
 
 

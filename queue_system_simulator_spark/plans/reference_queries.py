@@ -1207,3 +1207,110 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_centi"),
     )
+
+
+@register(
+    "textlog_parse",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi
+FROM events
+WHERE event_id % 50 <> 0
+GROUP BY event_type
+""",
+    description="A1/A3 over a RAW TEXT LOG — the fourth source format "
+    "(after CSV/JSONL/ORC/parquet + the custom Python source): events are "
+    "rendered to pipe-delimited log lines (every 50th line corrupted with "
+    "a non-numeric id, mimicking real log noise), written via "
+    "spark.write.text, read back with spark.read.text, and parsed row-"
+    "side with from_csv(schema, sep='|') — bad lines yield NULL casts and "
+    "are quarantined by a null-id filter, the same malformed-row contract "
+    "as the CSV/JSONL sources (reference csv_parser.py:31-68). Parse and "
+    "filter are map-only JVM expressions (no Python); the oracle applies "
+    "the matching survivor predicate to the original table, so a parser "
+    "that drops good lines or admits bad ones breaks the hash.",
+)
+def q_textlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # render: every 50th event gets a deliberately unparsable id field
+    line = F.concat_ws(
+        "|",
+        F.when(F.col("event_id") % 50 == 0, F.lit("BADID")).otherwise(
+            F.col("event_id").cast("string")
+        ),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.format_number(F.col("value"), 6),
+    )
+    out = _scratch_dir("textlog", sf_dir)
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    parsed = raw.select(
+        F.from_csv(
+            F.col("value"),
+            "event_id long, user_id long, event_type string, value_str string",
+            {"sep": "|"},
+        ).alias("r")
+    ).select("r.*")
+    # quarantine contract: unparsable ids become NULL and are dropped
+    good = parsed.filter(F.col("event_id").isNotNull())
+    # format_number renders with thousands separators; strip for the cast
+    val = F.regexp_replace("value_str", ",", "").cast("double")
+    return good.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.sum(F.round(val * 100).cast("long")).cast("long").alias("sum_centi"),
+    )
+
+
+@register(
+    "binaryfile_ingest",
+    oracle="""
+SELECT i AS file_idx,
+       CAST(32 * (i % 7 + 1) AS BIGINT) AS n_bytes,
+       md5(repeat(md5('bf|' || CAST(i AS VARCHAR)), i % 7 + 1)) AS content_md5
+FROM (SELECT unnest(generate_series(0, 63)) AS i)
+""",
+    description="Multimodal ingest surface: spark.read.format('binaryFile') "
+    "— the canonical way raw image/audio/video blobs enter the engine as "
+    "opaque binary columns with typed file metadata (path, length, "
+    "content). 64 deterministic fixture blobs (md5-derived content, "
+    "varying sizes) are laid down driver-side, read back through the "
+    "binaryFile source (one task per file at scale; partition count "
+    "follows maxPartitionBytes like any file source), and graded by "
+    "(index, byte length, content md5) — any blob truncated, reordered, "
+    "or mutated by the source breaks the hash. The decode step downstream "
+    "of this surface is the mapInPandas multimodal family "
+    "(multimodal_features / _arrow / frame_sample).",
+)
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    out = _scratch_dir("binfiles", sf_dir)
+    for i in range(64):
+        h = hashlib.md5(f"bf|{i}".encode()).hexdigest()
+        payload = (h * (i % 7 + 1)).encode("ascii")
+        path = os.path.join(out, f"blob_{i:04d}.bin")
+        # deterministic content: rewrite only if changed/missing
+        try:
+            with open(path, "rb") as f:
+                if f.read() == payload:
+                    continue
+        except OSError:
+            pass
+        with open(path, "wb") as f:
+            f.write(payload)
+    files = spark.read.format("binaryFile").load(out)
+    idx = F.regexp_extract(
+        F.col("path"), r"blob_(\d+)\.bin$", 1
+    ).cast("long")
+    return files.select(
+        idx.alias("file_idx"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
