@@ -80,3 +80,29 @@ def test_mad_outliers_bounded_and_median_robust(spark):
         assert 0 <= r.n_outliers <= r.n
         # a 3xMAD fence on any distribution keeps the outlier share small
         assert r.n_outliers <= 0.5 * r.n
+
+
+def test_textlog_quarantine_drops_exactly_bad_lines(spark):
+    # the corrupt-line injection hits every 50th event; the survivor count
+    # must be exactly total - corrupted (no good line dropped, none leaked)
+    from queue_system_simulator_spark.schema import load_table
+
+    got = (
+        QUERIES["textlog_parse"]
+        .build(spark, SF)
+        .agg({"n": "sum"})
+        .collect()[0][0]
+    )
+    ev = load_table(spark, SF, "events")
+    total = ev.count()
+    bad = ev.filter("event_id % 50 = 0").count()
+    assert bad > 0
+    assert got == total - bad
+
+
+def test_binaryfile_ingest_is_rerun_stable(spark):
+    # the fixture writer must be idempotent: two builds in one session see
+    # identical (idx, bytes, md5) triples
+    a = _rows(QUERIES["binaryfile_ingest"].build(spark, SF))
+    b = _rows(QUERIES["binaryfile_ingest"].build(spark, SF))
+    assert a == b and len(a) == 64
