@@ -168,6 +168,7 @@ HEADLINE = [
     "partition_pruned_scan",
     "textlog_parse",
     "binaryfile_ingest",
+    "tokenizer_fertility_by_lang",
 ]
 
 

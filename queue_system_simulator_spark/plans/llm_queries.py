@@ -5204,3 +5204,152 @@ def q_curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4, 'train_split', n4, c4"
         ") AS (stage_no, stage, n_docs, total_chars)"
     )
+
+
+@register(
+    "lsh_threshold_sweep",
+    oracle=f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, jaccard
+  FROM ({_REGISTRY["ngram_jaccard_pairs"].oracle}) t
+),
+cand AS (
+  SELECT doc_a, doc_b FROM ({_REGISTRY["minhash_lsh_pairs"].oracle}) c
+),
+flagged AS (
+  SELECT t.jaccard, (c.doc_a IS NOT NULL) AS is_cand
+  FROM truth t LEFT JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+taus AS (SELECT unnest([30, 40, 50, 60, 70, 80]) AS tau_pct),
+sweep AS (
+  SELECT tau_pct,
+         count(*) FILTER (WHERE jaccard >=
+           CAST(tau_pct AS DOUBLE) / CAST(100 AS DOUBLE)) AS n_true,
+         count(*) FILTER (WHERE is_cand AND jaccard >=
+           CAST(tau_pct AS DOUBLE) / CAST(100 AS DOUBLE)) AS n_hit
+  FROM taus CROSS JOIN flagged
+  GROUP BY tau_pct
+),
+nc AS (SELECT count(*) AS n_candidates FROM cand)
+SELECT s.tau_pct, s.n_true, s.n_hit, nc.n_candidates,
+       round(CAST(s.n_hit AS DOUBLE) / greatest(s.n_true, 1), 6) AS recall,
+       round(CAST(s.n_hit AS DOUBLE) / greatest(nc.n_candidates, 1), 6)
+         AS precision
+FROM sweep s CROSS JOIN nc
+""",
+    description="LSH operating-point sweep: recall/precision of the SAME "
+    "MinHash band candidate set against exact-Jaccard truth at SIX "
+    "thresholds (tau 0.30-0.80) from ONE pass over the pair machinery — "
+    "truth pairs are computed once, candidate membership becomes a flag "
+    "via one pair-key left join, and the sweep is a 6-way conditional "
+    "aggregation of that tiny flagged frame (taus broadcast by the cross "
+    "join). This is the table that picks (bands, rows) before a 100 TB "
+    "dedup run: lsh_recall_eval gives one point, this gives the curve at "
+    "the same cost. Threshold compares use identically-written "
+    "tau/100 double expressions on both engines.",
+)
+def q_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    cand = (
+        q_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_cand_raw"))
+        .cache()
+    )
+    flagged = (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            "jaccard",
+            F.coalesce(F.col("is_cand_raw"), F.lit(False)).alias("is_cand"),
+        )
+        .withColumn(
+            "tau_pct", F.explode(F.array(*[F.lit(t) for t in (30, 40, 50, 60, 70, 80)]))
+        )
+    )
+    thr = F.col("tau_pct").cast("double") / F.lit(100).cast("double")
+    keep = F.col("jaccard") >= thr
+    sweep = flagged.groupBy("tau_pct").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(keep & F.col("is_cand"), 1).otherwise(0)).alias("n_hit"),
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return sweep.join(F.broadcast(nc)).select(
+        "tau_pct",
+        "n_true",
+        "n_hit",
+        "n_candidates",
+        F.round(
+            F.col("n_hit").cast("double") / F.greatest(F.col("n_true"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit").cast("double")
+            / F.greatest(F.col("n_candidates"), F.lit(1)),
+            6,
+        ).alias("precision"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+           AS n_tok,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+         n_chars
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE)
+             / CAST(sum(n_words) AS BIGINT), 6) AS fertility,
+       round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(sum(n_tok) AS BIGINT), 6) AS chars_per_token
+FROM per_doc
+GROUP BY lang
+""",
+    description="Tokenizer fertility audit per language — the eval that "
+    "catches a tokenizer quietly taxing some languages (high tokens-per-"
+    "word inflates training cost and truncation for those docs): BPE-ish "
+    "regex token counts and whitespace word counts per doc (both map-only "
+    "JVM regex), then tokens/word and chars/token per declared language. "
+    "One corpus scan, integer sums into one tiny grouped shuffle; ratios "
+    "computed once over the exact integer totals.",
+)
+def q_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text", "n_chars"
+    )
+    n_tok = F.size(
+        F.regexp_extract_all(
+            "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+        )
+    ).cast("long")
+    n_words = F.size(
+        F.filter(F.split("text", " "), lambda t: t != "")
+    ).cast("long")
+    per_doc = docs.select(
+        "lang", n_tok.alias("n_tok"), n_words.alias("n_words"), "n_chars"
+    )
+    tot_tok = F.sum("n_tok").cast("long")
+    tot_words = F.sum("n_words").cast("long")
+    tot_chars = F.sum("n_chars").cast("long")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        tot_tok.alias("total_tokens"),
+        tot_words.alias("total_words"),
+        F.round(
+            tot_tok.cast("double") / tot_words, 6
+        ).alias("fertility"),
+        F.round(
+            tot_chars.cast("double") / tot_tok, 6
+        ).alias("chars_per_token"),
+    )
