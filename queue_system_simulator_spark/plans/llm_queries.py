@@ -5353,3 +5353,150 @@ def q_tokenizer_fertility_by_lang(
             tot_chars.cast("double") / tot_tok, 6
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "ivf_nprobe_sweep",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact AS (
+  SELECT b.vec_id
+  FROM (SELECT v FROM e WHERE vec_id = 0) a, e b
+  WHERE b.vec_id != 0
+  ORDER BY round({{cos}}, 6) DESC, b.vec_id
+  LIMIT {IVF_TOPK}
+),
+cent AS ({{centroid}}),
+ranked_cells AS (
+  SELECT label,
+         row_number() OVER (ORDER BY
+           round(list_aggregate(list_transform(
+             generate_series(1, CAST(len(c) AS INT)),
+             d -> (qv[CAST(d AS INT)] - c[CAST(d AS INT)])
+                * (qv[CAST(d AS INT)] - c[CAST(d AS INT)])), 'sum'), 6),
+           label) AS rnk
+  FROM cent, q
+),
+probes AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+cand AS (
+  SELECT b.vec_id, rc.rnk,
+         round((SELECT list_dot_product(q.qv, b.v)
+                / (sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(b.v, b.v))) FROM q), 6) AS sim
+  FROM e b JOIN ranked_cells rc ON b.label = rc.label
+  WHERE b.vec_id != 0 AND rc.rnk <= 4
+),
+pc AS (
+  SELECT p.nprobe, c.vec_id, c.sim
+  FROM probes p JOIN cand c ON c.rnk <= p.nprobe
+),
+topk AS (
+  SELECT nprobe, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY nprobe
+                                 ORDER BY sim DESC, vec_id) AS rn
+    FROM pc
+  ) WHERE rn <= {IVF_TOPK}
+)
+SELECT p.nprobe,
+       (SELECT count(*) FROM pc WHERE pc.nprobe = p.nprobe)
+         AS n_candidates,
+       (SELECT count(*) FROM topk t JOIN exact x USING (vec_id)
+         WHERE t.nprobe = p.nprobe) AS n_overlap,
+       round((SELECT count(*) FROM topk t JOIN exact x USING (vec_id)
+         WHERE t.nprobe = p.nprobe) / {IVF_TOPK}.0, 6) AS recall_at_k
+FROM probes p
+""".replace("{cos}", _COS_SQL).replace("{centroid}", _CENTROID_SQL),
+    description="IVF nprobe sweep — the probe-budget curve (cost = "
+    "candidates scanned, quality = recall@20) for nprobe 1..4 from ONE "
+    "index build and ONE corpus pass: cells are ranked once by centroid "
+    "L2 (k-bounded broadcast frame), candidates from the top-4 cells are "
+    "scored once and tagged with their cell rank, and each nprobe setting "
+    "is a rank-threshold slice ranked per-nprobe (window partitioned by "
+    "nprobe, state bounded by the probed cells' members). Completes the "
+    "calibration trio: lsh_threshold_sweep (bands/rows), this (probe "
+    "budget), pq_recall_at_k (compression loss).",
+)
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    max_probe = 4
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    # rank the k centroids once — a k-row frame, bounded by construction
+    ranked_cells = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("label", l2.alias("l2"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy("l2", "label")),
+        )
+        .filter(F.col("rnk") <= max_probe)
+        .select("label", "rnk")
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(ranked_cells), "label")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "rnk", sim.alias("sim"))
+    )
+    pc = cand.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(n) for n in range(1, max_probe + 1)])),
+    ).filter(F.col("rnk") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe").orderBy(F.col("sim").desc(), "vec_id")
+    topk = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("nprobe", "vec_id")
+    )
+    exact = q_embed_cosine_topk(spark, sf_dir).select("vec_id")
+    hits = topk.join(F.broadcast(exact), "vec_id").groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    n_cand = pc.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        n_cand.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(float(IVF_TOPK)),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
