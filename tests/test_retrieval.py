@@ -106,3 +106,32 @@ def test_binaryfile_ingest_is_rerun_stable(spark):
     a = _rows(QUERIES["binaryfile_ingest"].build(spark, SF))
     b = _rows(QUERIES["binaryfile_ingest"].build(spark, SF))
     assert a == b and len(a) == 64
+
+
+def test_lsh_threshold_sweep_is_monotone(spark):
+    rows = sorted(
+        QUERIES["lsh_threshold_sweep"].build(spark, SF).collect(),
+        key=lambda r: r.tau_pct,
+    )
+    assert [r.tau_pct for r in rows] == [30, 40, 50, 60, 70, 80]
+    for a, b in zip(rows, rows[1:]):
+        # raising tau can only shrink the truth set and its recovered part
+        assert b.n_true <= a.n_true
+        assert b.n_hit <= a.n_hit
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_true
+        assert r.n_candidates == rows[0].n_candidates  # one fixed cand set
+
+
+def test_ivf_nprobe_sweep_is_monotone(spark):
+    rows = sorted(
+        QUERIES["ivf_nprobe_sweep"].build(spark, SF).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        # probing more cells can only add candidates and recall
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_overlap >= a.n_overlap
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
