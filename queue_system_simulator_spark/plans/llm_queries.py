@@ -5500,3 +5500,130 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "lsh_bands_sweep",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SQL}),
+cfgs AS (SELECT unnest([2, 4, 8]) AS n_bands),
+bands AS (
+  SELECT c.n_bands, s.doc_id,
+         (s.seed * c.n_bands) // {NUM_MINHASH} AS band,
+         md5(string_agg(s.minhash, ',' ORDER BY s.seed)) AS band_key
+  FROM sig s CROSS JOIN cfgs c
+  GROUP BY c.n_bands, s.doc_id, (s.seed * c.n_bands) // {NUM_MINHASH}
+),
+cand AS (
+  SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.n_bands = b.n_bands AND a.band = b.band
+   AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM ({{jaccard}}) t
+  WHERE jaccard >= {LSH_EVAL_TAU}
+),
+nt AS (SELECT count(*) AS n_true FROM truth)
+SELECT c.n_bands,
+       CAST({NUM_MINHASH} / c.n_bands AS BIGINT) AS rows_per_band,
+       (SELECT count(*) FROM cand WHERE cand.n_bands = c.n_bands)
+         AS n_candidates,
+       nt.n_true,
+       (SELECT count(*) FROM cand JOIN truth
+          ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b
+        WHERE cand.n_bands = c.n_bands) AS n_hit,
+       round((SELECT count(*) FROM cand JOIN truth
+          ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b
+        WHERE cand.n_bands = c.n_bands)
+        / CAST(greatest(nt.n_true, 1) AS DOUBLE), 6) AS recall
+FROM cfgs c CROSS JOIN nt
+""".replace("{jaccard}", "%s") % _REGISTRY["ngram_jaccard_pairs"].oracle,
+    description="LSH (bands x rows) sweep — the OTHER calibration axis "
+    "(lsh_threshold_sweep fixes the banding and sweeps tau; this fixes "
+    "tau=0.5 and re-bands the SAME 16-hash signatures as 2x8 / 4x4 / 8x2): "
+    "band keys for all three configurations are derived in one grouped "
+    "pass over the long signature frame, the candidate join stays blocked "
+    "on (config, band, key) — never all-pairs — and recall against exact-"
+    "Jaccard truth quantifies the s-curve trade (more bands = higher "
+    "recall AND more candidates to verify). One signature build, three "
+    "operating points.",
+)
+def q_lsh_bands_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_minhash_signatures(spark, sf_dir)
+    cfgs = [2, 4, 8]
+    bands = None
+    for nb in cfgs:
+        rows = NUM_MINHASH // nb
+        b = (
+            sig.groupBy(
+                "doc_id", (F.col("seed") / rows).cast("long").alias("band")
+            )
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("seed", "minhash"))
+                            ),
+                            lambda s: s["minhash"],
+                        ),
+                    )
+                ).alias("band_key")
+            )
+            .select(F.lit(nb).alias("n_bands"), "doc_id", "band", "band_key")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.n_bands") == F.col("b.n_bands"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.n_bands").alias("n_bands"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .cache()
+    )
+    truth = (
+        q_ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= LSH_EVAL_TAU)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.groupBy("n_bands").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    n_hit = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("n_bands")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_cand.join(n_hit, "n_bands", "left")
+        .join(F.broadcast(nt))
+        .select(
+            "n_bands",
+            (F.lit(NUM_MINHASH) / F.col("n_bands"))
+            .cast("long")
+            .alias("rows_per_band"),
+            "n_candidates",
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.greatest(F.col("n_true"), F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -135,3 +135,22 @@ def test_ivf_nprobe_sweep_is_monotone(spark):
         assert b.n_overlap >= a.n_overlap
     for r in rows:
         assert 0.0 <= r.recall_at_k <= 1.0
+
+
+def test_lsh_bands_sweep_candidates_grow_with_bands(spark):
+    rows = sorted(
+        QUERIES["lsh_bands_sweep"].build(spark, SF).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert [(r.n_bands, r.rows_per_band) for r in rows] == [
+        (2, 8),
+        (4, 4),
+        (8, 2),
+    ]
+    for a, b in zip(rows, rows[1:]):
+        # shorter bands collide more easily: candidates AND recovered truth
+        # can only grow as bands get narrower
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_hit >= a.n_hit
+    for r in rows:
+        assert 0 <= r.n_hit <= min(r.n_true, r.n_candidates)
