@@ -2796,3 +2796,126 @@ def q_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+def _cogroup_click_context(keys, clicks, purchases):
+    """CoGroupedMap kernel: per user, annotate each purchase with its
+    preceding-click context. Runs once per user with BOTH groups as
+    pandas frames — the two-sided analog of the DES kernel's
+    applyInPandas contract."""
+    import numpy as np
+    import pandas as pd
+
+    user_id = keys[0]
+    user_id = user_id.item() if hasattr(user_id, "item") else user_id
+    if purchases.empty:
+        return pd.DataFrame(
+            columns=[
+                "user_id",
+                "purchase_event_id",
+                "n_clicks_before",
+                "last_click_gap_us",
+            ]
+        )
+    if "tus" not in purchases.columns or "tus" not in clicks.columns:
+        # Catalyst prunes the cogroup children down to the grouping key
+        # when no output column is consumed (e.g. a bare count()): the
+        # kernel still receives the right GROUP SIZES, and its output is
+        # one row per purchase regardless of values — so emit the correct
+        # row count with null payloads instead of crashing on the pruned
+        # frames. Any action that reads values gets unpruned inputs.
+        out = pd.DataFrame(
+            {
+                "user_id": np.int64(user_id),
+                "purchase_event_id": pd.array(
+                    [pd.NA] * len(purchases), dtype="Int64"
+                ),
+                "n_clicks_before": pd.array(
+                    [pd.NA] * len(purchases), dtype="Int64"
+                ),
+                "last_click_gap_us": pd.array(
+                    [pd.NA] * len(purchases), dtype="Int64"
+                ),
+            }
+        )
+        return out
+    c_tus = np.sort(clicks["tus"].to_numpy(dtype="int64")) if len(clicks) else np.empty(0, dtype="int64")
+    p = purchases.sort_values("tus", kind="mergesort")
+    p_tus = p["tus"].to_numpy(dtype="int64")
+    # strictly-before counts: searchsorted left == #clicks with tus < p_tus
+    n_before = np.searchsorted(c_tus, p_tus, side="left")
+    last_gap = np.where(
+        n_before > 0,
+        p_tus - c_tus[np.maximum(n_before - 1, 0)],
+        -1,
+    )
+    out = pd.DataFrame(
+        {
+            "user_id": np.int64(user_id),
+            "purchase_event_id": p["event_id"].to_numpy(dtype="int64"),
+            "n_clicks_before": n_before.astype("int64"),
+            "last_click_gap_us": last_gap.astype("int64"),
+        }
+    )
+    out["last_click_gap_us"] = out["last_click_gap_us"].astype("Int64")
+    out.loc[out["n_clicks_before"] == 0, "last_click_gap_us"] = pd.NA
+    return out
+
+
+@register(
+    "cogroup_click_context",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT user_id, event_id, event_type, tus,
+         CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_clicks_before,
+         max(CASE WHEN event_type = 'click' THEN tus END)
+           OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_us
+  FROM e
+)
+SELECT user_id, event_id AS purchase_event_id, n_clicks_before,
+       CAST(tus - last_click_us AS BIGINT) AS last_click_gap_us
+FROM w WHERE event_type = 'purchase'
+""",
+    description="CoGroupedMap surface (cogroup().applyInPandas — the "
+    "two-sided member of the pandas-UDF family, completing GROUPED_MAP / "
+    "GROUPED_AGG / mapInPandas / mapInArrow / applyInPandasWithState / "
+    "UDTF): clicks and purchases are cogrouped per user and a vectorized "
+    "numpy kernel (searchsorted on the sorted click timeline) annotates "
+    "each purchase with its strictly-preceding click count and the gap to "
+    "the last click — the per-key two-stream merge shape (order-book vs "
+    "trades, impressions vs conversions) that would otherwise need a "
+    "range join. One shuffle per side on the user key; group state is one "
+    "user's events. The oracle is the independent window-algebra "
+    "formulation (cumulative conditional count + running max over the "
+    "event union with a strictly-preceding RANGE frame), so kernel and "
+    "relational semantics must agree exactly, ties-at-equal-timestamp "
+    "included.",
+)
+def q_cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "tus"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "tus"
+    )
+    return clicks.groupBy("user_id").cogroup(
+        purchases.groupBy("user_id")
+    ).applyInPandas(
+        _cogroup_click_context,
+        "user_id long, purchase_event_id long, n_clicks_before long, "
+        "last_click_gap_us long",
+    )

@@ -154,3 +154,55 @@ def test_lsh_bands_sweep_candidates_grow_with_bands(spark):
         assert b.n_hit >= a.n_hit
     for r in rows:
         assert 0 <= r.n_hit <= min(r.n_true, r.n_candidates)
+
+
+def test_cogroup_kernel_count_matches_collect(spark):
+    # Catalyst prunes cogroup children to the grouping key under a bare
+    # count() — the kernel must emit the same row count from pruned
+    # (key-only) frames as from full ones
+    df = QUERIES["cogroup_click_context"].build(spark, SF)
+    assert df.count() == len(df.collect())
+
+
+def test_cogroup_kernel_matches_window_algebra(spark):
+    # kernel vs the independent relational formulation, tie semantics
+    # included (strictly-preceding clicks only)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    got = {
+        r.purchase_event_id: (r.n_clicks_before, r.last_click_gap_us)
+        for r in QUERIES["cogroup_click_context"].build(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    want_rows = (
+        ev.select(
+            "*",
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", 1)).over(w),
+                F.lit(0),
+            ).alias("n"),
+            F.max(F.when(F.col("event_type") == "click", F.col("tus"))).over(
+                w
+            ).alias("last_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    )
+    want = {
+        r.event_id: (
+            r.n,
+            (r.tus - r.last_us) if r.last_us is not None else None,
+        )
+        for r in want_rows
+    }
+    assert got == want
