@@ -384,3 +384,19 @@ def test_partition_pruned_scan_reads_two_partitions(spark, sf_dir):
     ]
     assert len(parts) > 2
     assert {"event_type=purchase", "event_type=error"} <= set(parts)
+
+
+def test_python_kernel_queries_count_matches_collect(spark, sf_dir):
+    # the cogroup count()-pruning hazard class: for every Arrow/pandas
+    # kernel query, a bare count() (which lets Catalyst prune inputs) must
+    # agree with the fully-materialized row count
+    for name in (
+        "kernel_fifo_k1",
+        "udtf_event_run_lengths",
+        "multimodal_features",
+        "multimodal_ahash_dedup",
+        "user_activity_similarity",
+        "cogroup_click_context",
+    ):
+        df = QUERIES[name].build(spark, sf_dir)
+        assert df.count() == len(df.collect()), name
