@@ -169,6 +169,7 @@ HEADLINE = [
     "textlog_parse",
     "binaryfile_ingest",
     "tokenizer_fertility_by_lang",
+    "cogroup_click_context",
 ]
 
 
