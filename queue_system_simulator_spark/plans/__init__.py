@@ -15,6 +15,7 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
     relational_queries,
     kernel_queries,
     streaming_queries,
+    scale_queries,
 )
 
 #: The driver grades exactly the FIRST 50 entries of ``queries()`` in
