@@ -170,6 +170,17 @@ HEADLINE = [
     "binaryfile_ingest",
     "tokenizer_fertility_by_lang",
     "cogroup_click_context",
+    # round-5b: scale-layout family + retrieval/text additions
+    "lineitem_range_shard_manifest",
+    "token_shard_assignment",
+    "deterministic_shuffle_order",
+    "peak_concurrency_sweep",
+    "column_profile_drift",
+    "ewma_daily_value",
+    "event_rate_autocorrelation",
+    "prefix_filter_jaccard_pairs",
+    "char_entropy_quality",
+    "sq8_rerank_topk",
 ]
 
 
