@@ -2919,3 +2919,194 @@ def q_cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, purchase_event_id long, n_clicks_before long, "
         "last_click_gap_us long",
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL precision sweep — the sketch-accuracy calibration axis
+# ---------------------------------------------------------------------------
+HLL_SWEEP_PS = (4, 6, 8)  # register-count exponents: m = 16 / 64 / 256
+
+
+def _hll_sweep_rho_case(p: int, v: str) -> str:
+    """Leading-zero rank ladder for a (48 - p)-bit field; exact integer
+    comparisons shared verbatim by both engines (cf. _hll_rho_case)."""
+    w = _HLL_HEX * 4 - p
+    branches = " ".join(
+        f"WHEN {v} >= {1 << (w - k)} THEN {k}" for k in range(1, w + 1)
+    )
+    return f"CASE {branches} ELSE {w + 1} END"
+
+
+def _hll_sweep_alpha_m2(p: int) -> str:
+    m = 1 << p
+    # alpha_16 = 0.673, alpha_32 = 0.697, alpha_64 = 0.709, else the
+    # asymptotic formula (Flajolet et al. 2007) — all as literal doubles
+    if m == 16:
+        a = "CAST(0.673 AS DOUBLE)"
+    elif m == 32:
+        a = "CAST(0.697 AS DOUBLE)"
+    elif m == 64:
+        a = "CAST(0.709 AS DOUBLE)"
+    else:
+        a = f"CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / {m})"
+    return f"{a} * {m * m}"
+
+
+def _hll_sweep_branch_sql(p: int) -> str:
+    """One per-p SELECT over the shared hash CTE (DuckDB side)."""
+    m = 1 << p
+    return f"""
+SELECT {p} AS p, {m} AS m,
+       CAST(count(*) AS BIGINT) AS n_used_buckets,
+       round({_hll_sweep_alpha_m2(p)} /
+             (sum(CAST(1 AS DOUBLE) / (1::BIGINT << r)) + ({m} - count(*))),
+             4) AS raw_estimate
+FROM (
+  SELECT hv % {m} AS bucket, max({_hll_sweep_rho_case(p, f'hv >> {p}')}) AS r
+  FROM sweep_h GROUP BY hv % {m}
+)
+"""
+
+
+@register(
+    "hll_precision_sweep",
+    oracle=f"""
+WITH sweep_h AS (
+  SELECT CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+              1, {_HLL_HEX}) AS BIGINT) AS hv
+  FROM events
+),
+ests AS ({" UNION ALL ".join(_hll_sweep_branch_sql(p) for p in HLL_SWEEP_PS)}),
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT e.p, e.m, e.n_used_buckets, e.raw_estimate,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       round((e.raw_estimate - x.exact_distinct) / x.exact_distinct, 6)
+         AS rel_err
+FROM ests e, ex x
+""",
+    description="HLL precision sweep — the sketch-accuracy axis of the "
+    f"calibration family (alongside LSH tau/bands, IVF nprobe, PQ): the "
+    f"SAME 48-bit md5 hash stream evaluated at p ∈ {HLL_SWEEP_PS} "
+    "(m = 16/64/256 registers), raw harmonic estimate per p vs the exact "
+    "distinct count, relative error rounded — measuring the 1.04/√m rsd "
+    "curve an operator uses to size sketches before a 100 TB rollout. "
+    "Registers stay m-bounded and max-mergeable per p; the sweep shares "
+    "one hash computation and the exact count is computed once to grade "
+    "the estimator (a real deployment drops it).",
+)
+def q_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hv_sql = (
+        f"CAST(conv(substr(md5(concat('hll|', CAST(user_id AS STRING))), "
+        f"1, {_HLL_HEX}), 16, 10) AS BIGINT)"
+    )
+    h = ev.select(F.expr(hv_sql).alias("hv")).cache()
+    parts = []
+    for p in HLL_SWEEP_PS:
+        m = 1 << p
+        regs = (
+            h.select(
+                (F.col("hv") % m).alias("bucket"),
+                F.expr(_hll_sweep_rho_case(p, f"(hv >> {p})")).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("r"))
+        )
+        est = regs.agg(
+            F.lit(p).alias("p"),
+            F.lit(m).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n_used_buckets"),
+            F.round(
+                F.expr(
+                    f"{_hll_sweep_alpha_m2(p)} / "
+                    "(sum(CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), r))"
+                    f" + ({m} - count(1)))"
+                ),
+                4,
+            ).alias("raw_estimate"),
+        )
+        parts.append(est)
+    ests = parts[0]
+    for q in parts[1:]:
+        ests = ests.unionAll(q)
+    ex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return ests.crossJoin(F.broadcast(ex)).select(
+        "p",
+        "m",
+        "n_used_buckets",
+        "raw_estimate",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            (F.col("raw_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy noisy release (deterministic seeded Laplace)
+# ---------------------------------------------------------------------------
+DP_EPSILON = "CAST(1.0 AS DOUBLE)"  # shared literal text on both engines
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+  FROM events GROUP BY event_type
+),
+u AS (
+  SELECT event_type, true_count,
+         (CAST('0x' || substr(md5('dp|' || event_type), 1, 8) AS BIGINT)
+          + CAST(1.0 AS DOUBLE)) / CAST(4294967297.0 AS DOUBLE) AS uu
+  FROM c
+)
+SELECT event_type, true_count,
+       round(-(1 / {DP_EPSILON})
+             * (CASE WHEN uu >= CAST(0.5 AS DOUBLE) THEN 1 ELSE -1 END)
+             * ln(1 - 2 * abs(uu - CAST(0.5 AS DOUBLE))), 6) AS noise,
+       round(true_count
+             - (1 / {DP_EPSILON})
+               * (CASE WHEN uu >= CAST(0.5 AS DOUBLE) THEN 1 ELSE -1 END)
+               * ln(1 - 2 * abs(uu - CAST(0.5 AS DOUBLE))), 6)
+         AS noisy_count,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM u
+""",
+    description="Differential-privacy release: per-type event counts plus "
+    "Laplace(1/ε) noise at ε=1 — the third leg of the privacy family "
+    "(k-anonymous generalization, pseudonymized joins, now noisy "
+    "aggregate release). The noise draw inverts the Laplace CDF at an "
+    "md5-derived uniform (seeded per released cell), so it is reproducible "
+    "under task retry and engine-portable — rand() is neither — and the "
+    "whole release is one map-side transform of an already-tiny aggregate. "
+    "true_count appears ONLY to grade the mechanism; a production release "
+    "drops it (and would use a cryptographic RNG — the md5 draw stands in "
+    "to keep the mechanism hash-gradeable).",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    uu = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp|"), F.col("event_type"))), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    sign = F.when(F.col("uu") >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+    noise = (
+        -(1 / F.expr(DP_EPSILON))
+        * sign
+        * F.log(1 - 2 * F.abs(F.col("uu") - F.lit(0.5)))
+    )
+    return c.withColumn("uu", uu).select(
+        "event_type",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.expr(DP_EPSILON).alias("epsilon"),
+    )

@@ -5688,18 +5688,22 @@ def q_prefix_filter_jaccard_pairs(
     from pyspark.sql import Window
 
     tok = _shingles(spark, sf_dir).select("doc_id", "shingle").cache()
-    n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # one shuffle on doc_id produces BOTH per-doc size (count window) and
+    # the rarest-first rank (row_number window) — the size then rides along
+    # through the candidate join so the verify stage needs no re-join with
+    # a doc-size frame
+    wd = Window.partitionBy("doc_id")
+    w = wd.orderBy("df", "shingle")
     pref = (
         tok.join(df, "shingle")
-        .join(n, "doc_id")
+        .withColumn("n", F.count(F.lit(1)).over(wd))
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "n")
     )
     cand = (
         pref.alias("a")
@@ -5709,7 +5713,10 @@ def q_prefix_filter_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
@@ -5720,17 +5727,13 @@ def q_prefix_filter_jaccard_pairs(
             (F.col("doc_b") == F.col("tb.doc_id"))
             & (F.col("ta.shingle") == F.col("tb.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     uni = F.col("na") + F.col("nb") - F.col("n_inter")
     jac = F.col("n_inter").cast("double") / uni
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= PF_TAU)
+        inter.filter(jac >= PF_TAU)
         .select(
             "doc_a",
             "doc_b",
@@ -5906,4 +5909,59 @@ def q_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "approx_score", cos.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(SQ8_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-composition entropy per source
+# --------------------------------------------------------------------------
+@register(
+    "source_lang_entropy",
+    oracle="""
+WITH cl AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT source, max(c) AS mc FROM cl GROUP BY source)
+SELECT cl.source,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       count(*) AS n_langs,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS lang_entropy,
+       min(lang) FILTER (WHERE c = mc) AS dominant_lang
+FROM cl JOIN mx USING (source)
+GROUP BY cl.source
+""",
+    description="Corpus-composition audit: per source, the language-"
+    "distribution entropy (H = ln n − Σc·ln c / n over per-lang counts) "
+    "plus the dominant language (deterministic tie-break: lexicographic "
+    "min among the argmax). The mixing diagnostic next to "
+    "temperature_source_resample: low entropy = a monolingual source, "
+    "high = well-mixed — what a data-mixture planner reads before "
+    "setting sampling temperatures. Collapses to |sources|×|langs| rows "
+    "map-side before any join; the argmax needs no window, just a "
+    "per-source max re-join.",
+)
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = cl.groupBy("source").agg(F.max("c").alias("mc"))
+    tot = F.sum("c")
+    return (
+        cl.join(mx, "source")
+        .groupBy("source")
+        .agg(
+            tot.cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.log(tot.cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / tot,
+                6,
+            ).alias("lang_entropy"),
+            F.min(F.when(F.col("c") == F.col("mc"), F.col("lang"))).alias(
+                "dominant_lang"
+            ),
+        )
     )

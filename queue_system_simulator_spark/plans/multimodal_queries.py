@@ -258,3 +258,78 @@ def q_multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band16").cast("long").alias("band16"),
         n_mates.alias("n_bandmates"),
     )
+
+
+# --------------------------------------------------------------------------
+# WebDataset-style shard packing for media blobs
+# --------------------------------------------------------------------------
+MEDIA_SHARD_BUDGET = 1024  # bytes per shard (fixture-scaled; prod: ~1 GB)
+
+
+@register(
+    "multimodal_shard_packing",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(64 + (doc_id % 4) * 16 AS BIGINT) AS n_bytes
+  FROM documents
+),
+c AS (
+  SELECT media_id, kind, n_bytes,
+         coalesce(sum(n_bytes) OVER (ORDER BY media_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM m
+)
+SELECT CAST(cb // {MEDIA_SHARD_BUDGET} AS BIGINT) AS shard,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(count(*) FILTER (WHERE kind = 'image') AS BIGINT) AS n_image,
+       CAST(count(*) FILTER (WHERE kind = 'audio') AS BIGINT) AS n_audio,
+       CAST(count(*) FILTER (WHERE kind = 'video') AS BIGINT) AS n_video,
+       min(media_id) AS first_media,
+       max(media_id) AS last_media
+FROM c GROUP BY 1
+""",
+    description="WebDataset-style shard packing for binary media: blobs "
+    "stream in media_id order into tar-shard-sized groups — shard = "
+    f"exclusive-prefix-sum(bytes) div {MEDIA_SHARD_BUDGET} (fixture "
+    "budget; production uses ~1 GB) via the two-phase distributed "
+    "``global_cumsum``, manifest per shard with byte totals and per-kind "
+    "counts. Spark measures the REAL blob (length of the binary column "
+    "from the synthesized media frame); the oracle re-derives the "
+    "declared geometry (64 + id%4·16 bytes) — the same declared-vs-"
+    "measured pairing the other multimodal queries grade. This is the "
+    "exact layout job that turns a 100 TB image corpus into loader-"
+    "streamable tar shards.",
+)
+def q_multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.operators.statistics import (
+        global_cumsum,
+    )
+
+    media = synthesize_media(spark, sf_dir).select(
+        "media_id", "kind", F.length("blob").cast("long").alias("n_bytes")
+    )
+    c = global_cumsum(
+        media,
+        order_by=["media_id"],
+        val_col="n_bytes",
+        out_col="cb",
+        inclusive=False,
+    )
+    kind_n = lambda k: F.sum((F.col("kind") == k).cast("long"))  # noqa: E731
+    return (
+        c.withColumn("shard", (F.col("cb") / MEDIA_SHARD_BUDGET).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            kind_n("image").alias("n_image"),
+            kind_n("audio").alias("n_audio"),
+            kind_n("video").alias("n_video"),
+            F.min("media_id").alias("first_media"),
+            F.max("media_id").alias("last_media"),
+        )
+    )

@@ -1314,3 +1314,54 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "schema_evolution_mergeread",
+    oracle="""
+WITH e AS (
+  SELECT event_id % 2 AS batch,
+         CASE WHEN event_id % 2 = 1
+              THEN CAST(round(value * 100) AS BIGINT) END AS vc
+  FROM events
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       count(*) AS n_rows,
+       CAST(count(*) - count(vc) AS BIGINT) AS n_null_centi,
+       CAST(coalesce(sum(vc), 0) AS BIGINT) AS sum_centi
+FROM e GROUP BY batch
+""",
+    description="Schema evolution across a partitioned lake: batch 0 is "
+    "written WITHOUT the value_centi column, batch 1 WITH it (two "
+    "separate parquet writes under one root, hive-style batch= dirs), "
+    "then ONE mergeSchema read reconciles both file schemas — old files "
+    "surface the new column as NULL, the partition column materializes "
+    "from directory names. The aggregate (rows / nulls / integer sum per "
+    "batch) is graded against the source table, so a reader that "
+    "dropped, duplicated, or mis-nulled rows during schema merge breaks "
+    "the hash. This is the append-only evolution path a 100 TB lake "
+    "lives on: no rewrite of old files when a column lands, schema "
+    "reconciliation at read time (footer-merge cost only; fixed columns "
+    "would skip the merge).",
+)
+def q_schema_evolution_mergeread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 2).alias("batch"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    root = _scratch_dir("schema_evo", sf_dir)
+    ev.filter(F.col("batch") == 0).select("event_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "batch=0"))
+    ev.filter(F.col("batch") == 1).select(
+        "event_id", F.col("vc").alias("value_centi")
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value_centi")).alias("n_null_centi"),
+        F.coalesce(F.sum("value_centi"), F.lit(0)).alias("sum_centi"),
+    )

@@ -847,3 +847,35 @@ def test_burstiness_moments_merge_across_partitions(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("__burst_scrambled")
     assert a == b
+
+
+def test_source_lang_entropy_bounds_and_dominant(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans.llm_queries import (
+        q_source_lang_entropy,
+    )
+    from queue_system_simulator_spark.schema import load_table
+
+    rows = q_source_lang_entropy(spark, sf_dir).collect()
+    assert rows
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_src: dict = {}
+    for r in counts:
+        by_src.setdefault(r["source"], {})[r["lang"]] = r["c"]
+    for r in rows:
+        langs = by_src[r["source"]]
+        assert r["n_docs"] == sum(langs.values())
+        assert r["n_langs"] == len(langs)
+        assert -1e-9 <= r["lang_entropy"] <= math.log(len(langs)) + 1e-9
+        mc = max(langs.values())
+        assert r["dominant_lang"] == min(
+            k for k, v in langs.items() if v == mc
+        )

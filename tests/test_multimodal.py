@@ -109,3 +109,35 @@ def test_perceptual_ahash_bits_are_exact(spark, sf_dir):
     # halves stay in unsigned-32 range: the sign bit is never touched
     for r in got.values():
         assert 0 <= r.h1 < 1 << 32 and 0 <= r.h2 < 1 << 32
+
+
+def test_shard_packing_measured_equals_declared(spark, sf_dir):
+    from queue_system_simulator_spark.plans.multimodal_queries import (
+        MEDIA_SHARD_BUDGET,
+        q_multimodal_shard_packing,
+    )
+
+    rows = sorted(
+        q_multimodal_shard_packing(spark, sf_dir).collect(),
+        key=lambda r: r["shard"],
+    )
+    assert rows
+    # measured blob bytes must reproduce the declared geometry exactly
+    from queue_system_simulator_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    declared = (
+        load_table(spark, sf_dir, "documents")
+        .select((64 + (F.col("doc_id") % 4) * 16).alias("b"))
+        .agg(F.sum("b").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sum(r["shard_bytes"] for r in rows) == declared
+    # contiguous id ranges; every closed shard crossed the budget only by
+    # its final item (max item = 112 B)
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_media"] < b["first_media"]
+    for r in rows[:-1]:
+        assert r["shard_bytes"] < MEDIA_SHARD_BUDGET + 112
+    for r in rows:
+        assert r["n_items"] == r["n_image"] + r["n_audio"] + r["n_video"]

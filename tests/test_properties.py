@@ -145,3 +145,21 @@ def test_distributed_percentiles_match_numpy(vals, ps):
     # interpolation direction at frac >= 0.5); graded queries round to the
     # 1e-6 grid, far coarser than this bound
     assert got == pytest.approx(want, rel=1e-12, abs=1e-9)
+
+
+def test_dp_noise_is_deterministic_and_centered(spark, sf_dir):
+    """The seeded-Laplace release must be run-stable (same noise each
+    build — the md5 seed, not rand()) and decompose exactly."""
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        q_dp_noisy_counts,
+    )
+
+    a = {r["event_type"]: r for r in q_dp_noisy_counts(spark, sf_dir).collect()}
+    b = {r["event_type"]: r for r in q_dp_noisy_counts(spark, sf_dir).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k]["noise"] == b[k]["noise"]
+        assert abs(a[k]["noisy_count"] - (a[k]["true_count"] + a[k]["noise"])) < 2e-6
+        assert a[k]["epsilon"] == 1.0
+        # Laplace(1) at these counts: noise is small relative to the count
+        assert abs(a[k]["noise"]) < 30

@@ -103,3 +103,29 @@ def test_portable_cms_is_one_sided_for_every_key(spark, sf_dir):
     )
     bad = est.filter(F.col("cms_n") < F.col("n"))
     assert bad.count() == 0
+
+
+def test_hll_precision_sweep_registers_and_error(spark, sf_dir):
+    import math
+
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        HLL_SWEEP_PS,
+        q_hll_precision_sweep,
+    )
+
+    rows = q_hll_precision_sweep(spark, sf_dir).collect()
+    assert sorted(r["p"] for r in rows) == sorted(HLL_SWEEP_PS)
+    exacts = {r["exact_distinct"] for r in rows}
+    assert len(exacts) == 1  # one exact count, graded against every p
+    for r in rows:
+        assert r["m"] == 1 << r["p"]
+        assert 1 <= r["n_used_buckets"] <= r["m"]
+        assert r["raw_estimate"] > 0
+        # the raw estimator (deliberately no LC correction — that's what
+        # the sweep measures) biases HIGH when n << m, never low by more
+        # than the rsd envelope
+        assert r["raw_estimate"] >= 0.5 * r["exact_distinct"]
+        # dense regime only: the 1.04/sqrt(m) band applies once counts
+        # actually fill the registers
+        if r["exact_distinct"] >= 3 * r["m"]:
+            assert abs(r["rel_err"]) < 0.5, r

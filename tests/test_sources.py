@@ -380,3 +380,18 @@ def test_pyds_stream_throttled_live_run_multi_batch(spark, tmp_path):
     assert total == 60  # 3 users x 20 requests, nothing lost or duplicated
     # ceil(20/7) = 3 offset advances -> at least 3 non-empty micro-batches
     assert len(batches) >= 3
+
+
+def test_schema_evolution_null_fill_and_partition_column(spark, sf_dir):
+    from queue_system_simulator_spark.plans.reference_queries import (
+        q_schema_evolution_mergeread,
+    )
+
+    rows = {r["batch"]: r for r in q_schema_evolution_mergeread(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    # files written without the column surface it as NULL everywhere
+    assert rows[0]["n_null_centi"] == rows[0]["n_rows"]
+    assert rows[0]["sum_centi"] == 0
+    # files written with it have no nulls and a real sum
+    assert rows[1]["n_null_centi"] == 0
+    assert rows[1]["sum_centi"] > 0
