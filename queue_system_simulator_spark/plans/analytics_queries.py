@@ -3110,3 +3110,136 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         F.expr(DP_EPSILON).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Least-squares daily trend per event type (integer-exact moments)
+# ---------------------------------------------------------------------------
+@register(
+    "regression_slope_daily",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+ix AS (
+  SELECT event_type,
+         day - min(day) OVER (PARTITION BY event_type) AS x, y
+  FROM d
+)
+SELECT event_type,
+       count(*) AS n_days,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+       round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope
+FROM ix GROUP BY event_type
+""",
+    description="Per-type least-squares trend of the daily event rate: "
+    "slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) computed entirely from integer "
+    "moment sums over (day-index, count) pairs — engine-exact numerator "
+    "and denominator graded alongside the rounded ratio. The log "
+    "collapses to ≤366·|types| rows map-side before any math; the "
+    "capacity-planning primitive ('is error volume growing?') next to "
+    "the EWMA and ACF queries.",
+)
+def q_regression_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    ix = d.withColumn(
+        "x",
+        F.col("day") - F.min("day").over(Window.partitionBy("event_type")),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sx2 = F.sum(F.col("x") * F.col("x"))
+    num = (n * sxy - sx * sy).cast("long")
+    den = (n * sx2 - sx * sx).cast("long")
+    return ix.groupBy("event_type").agg(
+        n.alias("n_days"),
+        sx.alias("sum_x"),
+        sy.alias("sum_y"),
+        sxy.alias("sum_xy"),
+        sx2.alias("sum_x2"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.round(num.cast("double") / den, 6).alias("slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top event-type paths (3-step journey mining)
+# ---------------------------------------------------------------------------
+PATH_TOPK = 10
+
+
+@register(
+    "event_path_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+),
+p AS (
+  SELECT event_type
+         || '>' || lead(event_type, 1) OVER w
+         || '>' || lead(event_type, 2) OVER w AS path
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+)
+SELECT path, count(*) AS n_journeys
+FROM p WHERE path IS NOT NULL
+GROUP BY path
+ORDER BY n_journeys DESC, path
+LIMIT {PATH_TOPK}
+""",
+    description="Journey path mining: every 3-step event-type sequence per "
+    f"user (lead windows over the user's own timeline — partitioned by "
+    "user, never global), counted corpus-wide, top-"
+    f"{PATH_TOPK} on the total order (count desc, path) so the cut is "
+    "deterministic. The product-analytics staple behind 'what do users "
+    "do before purchasing'; the user-partitioned window plus one "
+    "path-keyed partial-agg shuffle is the whole plan, and TakeOrdered "
+    "replaces any global sort for the top-k.",
+)
+def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws skips nulls (unlike SQL ||), so gate the path on both leads
+    # existing — the last two events of each user produce no 3-step path,
+    # matching the oracle's NULL-propagating concatenation
+    p = e.select(
+        F.when(
+            F.lead("event_type", 2).over(w).isNotNull()
+            & F.lead("event_type", 1).over(w).isNotNull(),
+            path,
+        ).alias("path")
+    )
+    return (
+        p.filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), "path")
+        .limit(PATH_TOPK)
+    )

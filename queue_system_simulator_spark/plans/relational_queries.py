@@ -988,3 +988,119 @@ def q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(price * disc), 2).cast("double").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Row-level MERGE (CDC upsert/delete fold) without a table format
+# --------------------------------------------------------------------------
+@register(
+    "cdc_merge_orders",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+changes AS (
+  -- deterministic CDC batch derived from the snapshot itself:
+  --   every 97th key  -> DELETE
+  --   open orders     -> UPDATE (5% price bump, integer cents)
+  --   every 89th key  -> INSERT of a new key above the live domain
+  SELECT k, 'D' AS op, CAST(NULL AS VARCHAR) AS status,
+         CAST(NULL AS BIGINT) AS cents
+  FROM base WHERE k % 97 = 0
+  UNION ALL
+  SELECT k, 'U', 'F', cents + cents // 20
+  FROM base WHERE k % 97 != 0 AND status = 'O'
+  UNION ALL
+  SELECT k + 100000000, 'I', 'O', cents
+  FROM base WHERE k % 89 = 0
+),
+merged AS (
+  SELECT coalesce(c.k, b.k) AS k,
+         CASE WHEN c.op IS NULL THEN b.status
+              WHEN c.op = 'D' THEN NULL
+              ELSE c.status END AS status,
+         CASE WHEN c.op IS NULL THEN b.cents
+              WHEN c.op = 'D' THEN NULL
+              ELSE c.cents END AS cents,
+         coalesce(c.op, 'K') AS op
+  FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+)
+SELECT op,
+       count(*) AS n_rows,
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_total,
+       CAST(min(k) AS BIGINT) AS min_key,
+       CAST(max(k) AS BIGINT) AS max_key
+FROM merged
+WHERE NOT (op = 'D')
+GROUP BY op
+UNION ALL
+SELECT 'D', count(*), 0, CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+FROM merged WHERE op = 'D'
+""",
+    description="Row-level MERGE INTO semantics (the lakehouse CDC fold) "
+    "expressed as one full-outer join + conditional resolution — no table "
+    "format needed: a deterministic change batch (deletes every 97th key, "
+    "5% integer-cents price bump on open orders, inserts above the live "
+    "key domain) applied to the orders snapshot, then an audit aggregate "
+    "per action (kept/updated/inserted rows with integer cent totals; "
+    "deleted keys counted, tombstone payload excluded). The join is the "
+    "ONLY shuffle and keys co-partition both sides; at 100 TB this is "
+    "exactly the merge-on-read pass Delta/Iceberg run, and pre-bucketing "
+    "both sides by key makes it exchange-free (bucketed_join_orders "
+    "demonstrates that layout).",
+)
+def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    deletes = base.filter(F.col("k") % 97 == 0).select(
+        "k",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    updates = base.filter(
+        (F.col("k") % 97 != 0) & (F.col("status") == "O")
+    ).select(
+        "k",
+        F.lit("U").alias("op"),
+        F.lit("F").alias("status"),
+        (F.col("cents") + (F.col("cents") / 20).cast("long")).alias("cents"),
+    )
+    inserts = base.filter(F.col("k") % 89 == 0).select(
+        (F.col("k") + 100_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit("O").alias("status"),
+        "cents",
+    )
+    changes = deletes.unionAll(updates).unionAll(inserts)
+    b = base.alias("b")
+    c = changes.alias("c")
+    merged = b.join(c, F.col("b.k") == F.col("c.k"), "full_outer").select(
+        F.coalesce(F.col("c.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("c.op").isNull(), F.col("b.cents"))
+        .when(F.col("c.op") == "D", F.lit(None).cast("long"))
+        .otherwise(F.col("c.cents"))
+        .alias("cents"),
+        F.coalesce(F.col("c.op"), F.lit("K")).alias("op"),
+    )
+    live = merged.filter(F.col("op") != "D").groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("cents_total"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+    dead = merged.filter(F.col("op") == "D").agg(
+        F.lit("D").alias("op"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("long").alias("cents_total"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    ).select("op", "n_rows", "cents_total", "min_key", "max_key")
+    return live.select(
+        "op", "n_rows", "cents_total", "min_key", "max_key"
+    ).unionAll(dead)

@@ -400,3 +400,62 @@ def test_python_kernel_queries_count_matches_collect(spark, sf_dir):
     ):
         df = QUERIES[name].build(spark, sf_dir)
         assert df.count() == len(df.collect()), name
+
+
+def test_cdc_merge_conserves_rows_and_cents(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans.relational_queries import (
+        q_cdc_merge_orders,
+    )
+    from queue_system_simulator_spark.schema import load_table
+
+    rows = {r["op"]: r for r in q_cdc_merge_orders(spark, sf_dir).collect()}
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    n_base = base.count()
+    n_del = base.filter(F.col("k") % 97 == 0).count()
+    n_ins = base.filter(F.col("k") % 89 == 0).count()
+    n_upd = base.filter((F.col("k") % 97 != 0) & (F.col("status") == "O")).count()
+    assert rows["D"]["n_rows"] == n_del
+    assert rows.get("I", {"n_rows": 0})["n_rows"] == n_ins
+    assert rows["U"]["n_rows"] == n_upd
+    # survivors: everything except deletes, plus inserts
+    live_total = sum(
+        rows[op]["n_rows"] for op in ("K", "U", "I") if op in rows
+    )
+    assert live_total == n_base - n_del + n_ins
+    # inserted keys live strictly above the original domain
+    if "I" in rows:
+        assert rows["I"]["min_key"] > base.agg(F.max("k")).collect()[0][0]
+
+
+def test_regression_slope_decomposes_from_moments(spark, sf_dir):
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        q_regression_slope_daily,
+    )
+
+    for r in q_regression_slope_daily(spark, sf_dir).collect():
+        num = r["n_days"] * r["sum_xy"] - r["sum_x"] * r["sum_y"]
+        den = r["n_days"] * r["sum_x2"] - r["sum_x"] * r["sum_x"]
+        assert r["slope_num"] == num and r["slope_den"] == den
+        assert abs(r["slope"] - round(num / den, 6)) < 1e-9
+
+
+def test_event_paths_are_valid_and_ranked(spark, sf_dir):
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        PATH_TOPK,
+        q_event_path_topk,
+    )
+
+    rows = q_event_path_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PATH_TOPK
+    types = {"view", "click", "purchase", "signup", "error"}
+    counts = [r["n_journeys"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        parts = r["path"].split(">")
+        assert len(parts) == 3 and all(p in types for p in parts)
