@@ -181,6 +181,17 @@ HEADLINE = [
     "prefix_filter_jaccard_pairs",
     "char_entropy_quality",
     "sq8_rerank_topk",
+    # round-5b second wave: sketch calibration, privacy, lake surfaces,
+    # CDC merge, trend/path analytics
+    "hll_precision_sweep",
+    "multimodal_shard_packing",
+    "source_lang_entropy",
+    "dp_noisy_counts",
+    "schema_evolution_mergeread",
+    "cdc_merge_orders",
+    "regression_slope_daily",
+    "event_path_topk",
+    "benford_price_audit",
 ]
 
 

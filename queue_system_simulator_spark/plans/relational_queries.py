@@ -1104,3 +1104,58 @@ def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.select(
         "op", "n_rows", "cents_total", "min_key", "max_key"
     ).unionAll(dead)
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+@register(
+    "benford_price_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_freq,
+       round(log10(1 + CAST(1.0 AS DOUBLE) / c.digit), 6) AS benford_freq,
+       round((CAST(c.n AS DOUBLE) / t.total
+              - log10(1 + CAST(1.0 AS DOUBLE) / c.digit))
+             * (CAST(c.n AS DOUBLE) / t.total
+                - log10(1 + CAST(1.0 AS DOUBLE) / c.digit))
+             / log10(1 + CAST(1.0 AS DOUBLE) / c.digit), 6) AS chi_component
+FROM c, t
+""",
+    description="Benford first-digit audit of order totals — the classic "
+    "anomaly/fraud screen on financial columns: observed leading-digit "
+    "frequencies (from integer cents, so digit extraction is exact) vs "
+    "the Benford expectation log10(1+1/d), with per-digit chi-square "
+    "components. One 9-row aggregate after a map-side digit projection; "
+    "both engines compute the expectation from the same literal "
+    "expression, so rounding agrees. (TPC-H synthetic prices are NOT "
+    "Benford-distributed — the audit flagging that is the demo.)",
+)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    ben = F.log10(1 + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_freq"),
+        F.round(ben, 6).alias("benford_freq"),
+        F.round((obs - ben) * (obs - ben) / ben, 6).alias("chi_component"),
+    )

@@ -459,3 +459,16 @@ def test_event_paths_are_valid_and_ranked(spark, sf_dir):
     for r in rows:
         parts = r["path"].split(">")
         assert len(parts) == 3 and all(p in types for p in parts)
+
+
+def test_benford_frequencies_sum_to_one(spark, sf_dir):
+    from queue_system_simulator_spark.plans.relational_queries import (
+        q_benford_price_audit,
+    )
+
+    rows = q_benford_price_audit(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_freq"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_freq"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["chi_component"] >= 0
