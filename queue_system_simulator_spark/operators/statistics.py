@@ -436,7 +436,10 @@ def global_cumsum(
         + [f"`{c}` {parts.schema[c].dataType.simpleString()}" for c in group_by]
         + ["__cs_off long"]
     )
-    off_df = spark.createDataFrame(offsets or [(0, 0)], gschema)
+    # empty input: an empty offsets frame (the inner join below then yields
+    # the correct empty result) — a dummy row would break on grouped calls,
+    # whose schema is wider than (pid, off)
+    off_df = spark.createDataFrame(offsets, gschema)
     w = Window.partitionBy("__cs_pid", *group_by).orderBy(*order_by)
     frame = w.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     out = (

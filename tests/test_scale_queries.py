@@ -136,3 +136,19 @@ def test_peak_concurrency_matches_naive_window(spark, sf_dir):
     expect = {r["event_type"]: r["peak"] for r in naive.collect()}
     assert got == expect
     assert all(v >= 1 for v in got.values())
+
+
+def test_global_cumsum_empty_input(spark):
+    """Empty frames must flow through (the empty-offsets path), grouped or
+    not — a layout job on an empty partition can't crash the whole run."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.lit(1).alias("v"),
+    )
+    assert global_cumsum(df, ["k"], "v", out_col="c").count() == 0
+    assert (
+        global_cumsum(df, ["k"], "v", out_col="c", group_by=["g"]).count() == 0
+    )
