@@ -3243,3 +3243,73 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_journeys").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly trend/seasonal/remainder decomposition (STL-lite)
+# ---------------------------------------------------------------------------
+@register(
+    "stl_weekly_decompose",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, y,
+         avg(CAST(y AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM d
+),
+s AS (
+  SELECT event_type, day, y, trend,
+         avg(y - trend) OVER (PARTITION BY event_type, day % 7) AS seasonal
+  FROM t
+)
+SELECT event_type, CAST(day AS BIGINT) AS day_idx, y,
+       round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(y - trend - seasonal, 6) AS remainder
+FROM s
+""",
+    description="STL-lite weekly decomposition of the daily event rate: "
+    "trend = centered 7-day moving average (rows frame over the per-type "
+    "daily series), seasonal = mean detrended value per weekday "
+    "(epoch-day mod 7), remainder = what's left — the anomaly channel a "
+    "monitoring stack alerts on, complementing the EWMA (level), "
+    "regression (drift) and ACF (periodicity) queries. Everything "
+    "happens AFTER the map-side collapse to ≤366·|types| rows, so the "
+    "windows are calendar-bounded whatever the log volume; the trend "
+    "average divides exact integer sums, and the order-sensitive float "
+    "folds are 6-dp rounded on both engines.",
+)
+def q_stl_weekly_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = d.withColumn("trend", F.avg(F.col("y").cast("double")).over(wt))
+    ws = Window.partitionBy("event_type", F.col("day") % 7)
+    s = t.withColumn("seasonal", F.avg(F.col("y") - F.col("trend")).over(ws))
+    return s.select(
+        "event_type",
+        F.col("day").alias("day_idx"),
+        "y",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias(
+            "remainder"
+        ),
+    )

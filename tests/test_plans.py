@@ -472,3 +472,21 @@ def test_benford_frequencies_sum_to_one(spark, sf_dir):
     assert abs(sum(r["benford_freq"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r["chi_component"] >= 0
+
+
+def test_stl_decomposition_reconstructs_series(spark, sf_dir):
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        q_stl_weekly_decompose,
+    )
+
+    rows = q_stl_weekly_decompose(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        # y = trend + seasonal + remainder by construction (up to rounding)
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 5e-6
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        # weekday seasonal components average ~0 over whole weeks
+        s = sum(r["seasonal"] for r in series) / len(series)
+        assert abs(s) < max(abs(r["y"]) for r in series)

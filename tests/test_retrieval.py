@@ -309,3 +309,20 @@ def test_char_entropy_bounded_by_alphabet(spark, sf_dir):
         assert r["flag_low_entropy"] == (r["entropy_nats"] < ENTROPY_LOW_BAR) or abs(
             r["entropy_nats"] - ENTROPY_LOW_BAR
         ) < 1e-6
+
+
+def test_minhash_estimate_error_bounded(spark, sf_dir):
+    """Each component agrees with prob = J, so |estimate - J| is bounded by
+    the k=16 binomial envelope; also n_match decomposes est exactly."""
+    from queue_system_simulator_spark.plans.llm_queries import (
+        NUM_MINHASH,
+        q_minhash_estimate_error,
+    )
+
+    rows = q_minhash_estimate_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_match"] <= NUM_MINHASH
+        assert abs(r["mh_estimate"] - r["n_match"] / NUM_MINHASH) < 1e-9
+        # 5-sigma binomial band at k=16 (sigma <= 0.125): generous but real
+        assert r["abs_err"] <= 0.63
