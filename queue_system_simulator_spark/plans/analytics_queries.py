@@ -3248,9 +3248,7 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Weekly trend/seasonal/remainder decomposition (STL-lite)
 # ---------------------------------------------------------------------------
-@register(
-    "stl_weekly_decompose",
-    oracle=f"""
+_STL_BODY = f"""
 WITH d AS (
   SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day,
          CAST(count(*) AS BIGINT) AS y
@@ -3272,7 +3270,12 @@ SELECT event_type, CAST(day AS BIGINT) AS day_idx, y,
        round(seasonal, 6) AS seasonal,
        round(y - trend - seasonal, 6) AS remainder
 FROM s
-""",
+"""
+
+
+@register(
+    "stl_weekly_decompose",
+    oracle=_STL_BODY,
     description="STL-lite weekly decomposition of the daily event rate: "
     "trend = centered 7-day moving average (rows frame over the per-type "
     "daily series), seasonal = mean detrended value per weekday "
@@ -3312,4 +3315,85 @@ def q_stl_weekly_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias(
             "remainder"
         ),
+    )
+
+
+@register(
+    "stl_residual_anomalies",
+    oracle=f"""
+WITH stl AS ({_STL_BODY}),
+med AS (
+  SELECT event_type, round(quantile_cont(remainder, 0.5), 6) AS med_rem
+  FROM stl GROUP BY event_type
+),
+dev AS (
+  SELECT s.event_type, s.day_idx,
+         round(abs(s.remainder - m.med_rem), 6) AS dev
+  FROM stl s JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad_rem
+  FROM dev GROUP BY event_type
+),
+flagged AS (
+  SELECT d.event_type, d.day_idx, d.dev, m.mad_rem
+  FROM dev d JOIN mad m USING (event_type)
+)
+SELECT f.event_type,
+       count(*) AS n_days,
+       min(me.med_rem) AS med_rem,
+       min(f.mad_rem) AS mad_rem,
+       CAST(sum(CASE WHEN f.dev > 3 * f.mad_rem THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       min(f.day_idx) FILTER (WHERE f.dev = (
+         SELECT max(dev) FROM flagged x WHERE x.event_type = f.event_type))
+         AS worst_day
+FROM flagged f JOIN med me USING (event_type)
+GROUP BY f.event_type
+""",
+    description="Seasonal-residual anomaly monitor — the composition the "
+    "monitoring stack actually deploys: STL-lite strips trend and weekly "
+    "seasonality (stl_weekly_decompose), then a MAD fence on the "
+    "remainder flags days more than 3 robust deviations off, immune to "
+    "both the trend and the weekday cycle that break a naive z-score on "
+    "the raw series. Per-type exact medians shard across types; "
+    "worst_day is the deterministic argmax (min day among ties). "
+    "Everything downstream of the map-side daily collapse is "
+    "calendar-bounded.",
+)
+def q_stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stl = q_stl_weekly_decompose(spark, sf_dir).select(
+        "event_type", "day_idx", "remainder"
+    )
+    med = stl.groupBy("event_type").agg(
+        F.round(F.expr("percentile(remainder, 0.5D)"), 6).alias("med_rem")
+    )
+    dev = stl.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day_idx",
+        F.round(F.abs(F.col("remainder") - F.col("med_rem")), 6).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5D)"), 6).alias("mad_rem")
+    )
+    mx = dev.groupBy("event_type").agg(F.max("dev").alias("max_dev"))
+    flagged = dev.join(F.broadcast(mad), "event_type").join(
+        F.broadcast(mx), "event_type"
+    )
+    return (
+        flagged.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("med_rem").alias("med_rem"),
+            F.min("mad_rem").alias("mad_rem"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+            F.min(
+                F.when(F.col("dev") == F.col("max_dev"), F.col("day_idx"))
+            ).alias("worst_day"),
+        )
     )

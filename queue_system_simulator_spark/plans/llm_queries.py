@@ -6049,3 +6049,112 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded k-core peel of the near-dup pair graph
+# --------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled bounded peel, every step MATERIALIZED (DuckDB inlines CTE
+    references, and each round reads its predecessor twice)."""
+    ctes = [
+        f"sig AS MATERIALIZED ({_MINHASH_SQL})",
+        f"""bands AS MATERIALIZED (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)""",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}
+    ) GROUP BY node
+  ) WHERE deg >= {KCORE_K}
+)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+)"""
+        )
+    selects = [
+        f"""SELECT {r} AS round,
+       CAST((SELECT count(*) FROM (
+         SELECT u AS n FROM e{r} UNION SELECT v FROM e{r})) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        for r in range(KCORE_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "kcore_peel_rounds",
+    oracle=_kcore_oracle_sql(),
+    description=f"Bounded k-core peeling (k={KCORE_K}, {KCORE_ROUNDS} "
+    "rounds) of the LSH near-dup pair graph: each round drops nodes with "
+    "degree < k and their edges; the (round, nodes, edges) trajectory is "
+    "the graded output. The density-core extractor behind template/"
+    "boilerplate mining — what survives peeling is the heavily "
+    "cross-linked duplication core worth one canonical document. Each "
+    "round is two keyed aggregations + one semi-join (the standard "
+    "Pregel-free formulation); rounds are BOUNDED by declaration, so the "
+    "plan depth is fixed — full convergence at 100 TB runs the same "
+    "round as an iterative driver loop with a localCheckpoint per step "
+    "(the connected-components query demonstrates that loop).",
+)
+def q_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _minhash_wide(spark, sf_dir)
+    # each round references its predecessor ~4x (degree union + two
+    # semi-joins); WITHOUT truncating lineage the analyzed plan copies the
+    # LSH-candidate subtree 4^rounds times and the driver OOMs on plan
+    # size alone — the iterative-loop rule from the connected-components
+    # query: localCheckpoint the (small) iterate each round
+    cur = (
+        _lsh_candidates(wide)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    def trajectory(r: int, edges: DataFrame) -> DataFrame:
+        nodes = edges.select(F.col("u").alias("n")).union(
+            edges.select(F.col("v").alias("n"))
+        ).distinct()
+        return nodes.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        ).crossJoin(
+            F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        ).select("round", "n_nodes", "n_edges")
+
+    out = trajectory(0, cur)
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(trajectory(r, cur))
+    return out

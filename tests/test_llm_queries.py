@@ -879,3 +879,25 @@ def test_source_lang_entropy_bounds_and_dominant(spark, sf_dir):
         assert r["dominant_lang"] == min(
             k for k, v in langs.items() if v == mc
         )
+
+
+def test_kcore_trajectory_monotone_and_stabilizes(spark, sf_dir):
+    from queue_system_simulator_spark.plans.llm_queries import (
+        KCORE_ROUNDS,
+        q_kcore_peel_rounds,
+    )
+
+    rows = sorted(
+        q_kcore_peel_rounds(spark, sf_dir).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(KCORE_ROUNDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+        # a peel round that removes nothing is a fixpoint: all later
+        # rounds must be identical
+        if (a["n_nodes"], a["n_edges"]) == (b["n_nodes"], b["n_edges"]):
+            assert all(
+                (c["n_nodes"], c["n_edges"]) == (a["n_nodes"], a["n_edges"])
+                for c in rows[rows.index(b):]
+            )

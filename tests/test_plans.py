@@ -490,3 +490,19 @@ def test_stl_decomposition_reconstructs_series(spark, sf_dir):
         # weekday seasonal components average ~0 over whole weeks
         s = sum(r["seasonal"] for r in series) / len(series)
         assert abs(s) < max(abs(r["y"]) for r in series)
+
+
+def test_stl_residual_anomalies_consistent(spark, sf_dir):
+    from queue_system_simulator_spark.plans.analytics_queries import (
+        q_stl_residual_anomalies,
+        q_stl_weekly_decompose,
+    )
+
+    days = {}
+    for r in q_stl_weekly_decompose(spark, sf_dir).collect():
+        days.setdefault(r["event_type"], set()).add(r["day_idx"])
+    for r in q_stl_residual_anomalies(spark, sf_dir).collect():
+        assert r["n_days"] == len(days[r["event_type"]])
+        assert 0 <= r["n_anomalies"] <= r["n_days"]
+        assert r["mad_rem"] >= 0
+        assert r["worst_day"] in days[r["event_type"]]
