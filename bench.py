@@ -192,6 +192,13 @@ HEADLINE = [
     "regression_slope_daily",
     "event_path_topk",
     "benford_price_audit",
+    # round-5b third wave: decomposition, graph cores, sketch accuracy
+    "stl_weekly_decompose",
+    "stl_residual_anomalies",
+    "kcore_peel_rounds",
+    # minhash_estimate_error: pair-mass-bound eval (9 s in-suite) — its
+    # perf story lives in SCALE_PROBE.md, keep the headline average clean
+    "quantile_normalize_embeddings",
 ]
 
 

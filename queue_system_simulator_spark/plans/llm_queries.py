@@ -6158,3 +6158,68 @@ def q_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(trajectory(r, cur))
     return out
+
+
+# --------------------------------------------------------------------------
+# Per-dimension quantile normalization (rank-based feature scaling)
+# --------------------------------------------------------------------------
+@register(
+    "quantile_normalize_embeddings",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, s.dim AS dim, v[CAST(s.dim AS INT)] AS val
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.v))) AS dim) s
+),
+r AS (
+  SELECT vec_id, label, dim,
+         row_number() OVER (PARTITION BY dim ORDER BY val, vec_id) AS rk,
+         count(*) OVER (PARTITION BY dim) AS n
+  FROM e
+)
+SELECT vec_id, label,
+       count(*) AS n_dims,
+       CAST(sum(CAST(round((rk - 1) * 1000000.0 / (n - 1)) AS BIGINT))
+            AS BIGINT) AS qsum_micro,
+       CAST(min(rk) AS BIGINT) AS min_rank,
+       CAST(max(rk) AS BIGINT) AS max_rank
+FROM r GROUP BY vec_id, label
+""",
+    description="Quantile (rank) normalization of the embedding matrix — "
+    "the outlier-immune feature scaling step before clustering/ANN when "
+    "dimensions have wild ranges: within every dimension, each value maps "
+    "to its empirical quantile (rank−1)/(n−1), deterministic ties by "
+    "vec_id. Graded per vector as integer micro-quantile sums, so the "
+    "result is engine- and partition-order exact. The window partitions "
+    "by DIMENSION (bounded, 64 here) — each dimension ranks "
+    "independently across the cluster; at 100 TB the same shape runs as "
+    "64 parallel range-sorts, or swaps to the distributed rank-selection "
+    "machinery per dim if a single dimension outgrows a task.",
+)
+def q_quantile_normalize_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+        )
+        .select("vec_id", "label", F.posexplode("v").alias("pos", "val"))
+        .select("vec_id", "label", (F.col("pos") + 1).alias("dim"), "val")
+    )
+    wd = Window.partitionBy("dim")
+    w = wd.orderBy("val", "vec_id")
+    r = e.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wd)
+    )
+    qmicro = F.round(
+        (F.col("rk") - 1) * 1_000_000.0 / (F.col("n") - 1)
+    ).cast("long")
+    return r.groupBy("vec_id", "label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(qmicro).alias("qsum_micro"),
+        F.min("rk").alias("min_rank"),
+        F.max("rk").alias("max_rank"),
+    )

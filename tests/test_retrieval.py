@@ -326,3 +326,22 @@ def test_minhash_estimate_error_bounded(spark, sf_dir):
         assert abs(r["mh_estimate"] - r["n_match"] / NUM_MINHASH) < 1e-9
         # 5-sigma binomial band at k=16 (sigma <= 0.125): generous but real
         assert r["abs_err"] <= 0.63
+
+
+def test_quantile_normalization_bounds(spark, sf_dir):
+    from queue_system_simulator_spark.plans.llm_queries import (
+        q_quantile_normalize_embeddings,
+    )
+
+    rows = q_quantile_normalize_embeddings(spark, sf_dir).collect()
+    assert rows
+    n_vecs = len(rows)
+    for r in rows:
+        assert r["n_dims"] == 64
+        assert 1 <= r["min_rank"] <= r["max_rank"] <= n_vecs
+        # each micro-quantile is in [0, 1e6]; the per-vector sum is bounded
+        assert 0 <= r["qsum_micro"] <= r["n_dims"] * 1_000_000
+    # quantiles are a fixed budget per dimension: summed over all vectors,
+    # every dim contributes sum_{r=0}^{n-1} round(r*1e6/(n-1)) exactly
+    per_dim = sum(round(i * 1_000_000 / (n_vecs - 1)) for i in range(n_vecs))
+    assert sum(r["qsum_micro"] for r in rows) == 64 * per_dim
