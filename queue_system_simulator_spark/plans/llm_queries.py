@@ -6223,3 +6223,179 @@ def q_quantile_normalize_embeddings(
         F.min("rk").alias("min_rank"),
         F.max("rk").alias("max_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Blocking-strategy evaluation: prefix filter vs LSH bands vs exact truth
+# --------------------------------------------------------------------------
+@register(
+    "blocking_strategy_eval",
+    oracle=f"""
+WITH tok AS MATERIALIZED ({_SHINGLES_SQL}),
+n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN n na ON na.doc_id = i.doc_a
+               JOIN n nb ON nb.doc_id = i.doc_b
+  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {PF_TAU}
+),
+pref AS (
+  SELECT doc_id, shingle FROM (
+    SELECT t.doc_id, t.shingle,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY df.df, t.shingle) AS rn, n.n
+    FROM tok t
+    JOIN (SELECT shingle, count(*) AS df FROM tok GROUP BY shingle) df
+      USING (shingle)
+    JOIN n USING (doc_id))
+  WHERE rn <= n - CAST(ceil({PF_TAU} * n) AS BIGINT) + 1
+),
+cand_prefix AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sig AS MATERIALIZED ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+),
+cand_lsh AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT 'prefix_filter' AS strategy,
+       CAST((SELECT count(*) FROM cand_prefix) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand_prefix c
+             JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM cand_prefix c
+                   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                  AS DOUBLE)
+             / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+       round(CAST((SELECT count(*) FROM cand_prefix c
+                   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                  AS DOUBLE)
+             / greatest((SELECT count(*) FROM cand_prefix), 1), 6)
+         AS precision
+UNION ALL
+SELECT 'lsh_bands',
+       CAST((SELECT count(*) FROM cand_lsh) AS BIGINT),
+       CAST((SELECT count(*) FROM truth) AS BIGINT),
+       CAST((SELECT count(*) FROM cand_lsh c
+             JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+            AS BIGINT),
+       round(CAST((SELECT count(*) FROM cand_lsh c
+                   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                  AS DOUBLE)
+             / greatest((SELECT count(*) FROM truth), 1), 6),
+       round(CAST((SELECT count(*) FROM cand_lsh c
+                   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                  AS DOUBLE)
+             / greatest((SELECT count(*) FROM cand_lsh), 1), 6)
+""",
+    description="Blocking-strategy chooser — the head-to-head every dedup "
+    "rollout runs before burning 100 TB of compute: the deterministic "
+    "prefix filter vs probabilistic LSH banding, both scored as "
+    "(candidates, recall, precision) against the exact-Jaccard truth at "
+    f"tau={PF_TAU}. Prefix filtering grades recall = 1.0 BY CONSTRUCTION "
+    "(its zero-false-negative guarantee, now measured, not asserted); "
+    "LSH trades recall for a candidate set that doesn't need the "
+    "rarest-first global ordering. Truth/candidate frames are each one "
+    "keyed self-join; the scorecard is six counts.",
+)
+def q_blocking_strategy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _shingles(spark, sf_dir).select("doc_id", "shingle").cache()
+    n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i"))
+            >= PF_TAU
+        )
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    df_counts = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (
+        tok.join(df_counts, "shingle")
+        .join(n, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn") <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand_prefix = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_lsh = _lsh_candidates(_minhash_wide(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+
+    def scorecard(name: str, cand: DataFrame) -> DataFrame:
+        c = cand.cache()
+        nc = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+        nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+        nh = c.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        return (
+            nc.crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(nh))
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.greatest(F.col("n_true"), F.lit(1)),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.greatest(F.col("n_candidates"), F.lit(1)),
+                    6,
+                ).alias("precision"),
+            )
+        )
+
+    return scorecard("prefix_filter", cand_prefix).unionAll(
+        scorecard("lsh_bands", cand_lsh)
+    )

@@ -345,3 +345,19 @@ def test_quantile_normalization_bounds(spark, sf_dir):
     # every dim contributes sum_{r=0}^{n-1} round(r*1e6/(n-1)) exactly
     per_dim = sum(round(i * 1_000_000 / (n_vecs - 1)) for i in range(n_vecs))
     assert sum(r["qsum_micro"] for r in rows) == 64 * per_dim
+
+
+def test_blocking_eval_prefix_recall_is_one(spark, sf_dir):
+    """The prefix filter's zero-false-negative guarantee must MEASURE as
+    recall 1.0; LSH recall is probabilistic and can only be <= 1."""
+    from queue_system_simulator_spark.plans.llm_queries import (
+        q_blocking_strategy_eval,
+    )
+
+    rows = {r["strategy"]: r for r in q_blocking_strategy_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"prefix_filter", "lsh_bands"}
+    assert rows["prefix_filter"]["recall"] == 1.0
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= min(r["n_true"], r["n_candidates"])
+        assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
+    assert rows["prefix_filter"]["n_true"] == rows["lsh_bands"]["n_true"]
