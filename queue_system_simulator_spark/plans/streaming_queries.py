@@ -553,3 +553,56 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "streaming_compacted_latest",
+    oracle="""
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_centi,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, tus AS last_tus, event_id AS last_event_id,
+       event_type AS last_event_type, value_centi AS last_value_centi
+FROM r WHERE rn = 1
+""",
+    description="Streaming keyed upsert — Kafka-compaction semantics "
+    "online: applyInPandasWithState keeps the per-user latest event on "
+    "the (event-time, event_id) total order across microbatches, each "
+    "batch emits post-merge candidates for the users it touched, and a "
+    "user-partitioned window takes the final compacted row — so the "
+    "drained result is batching-independent and equals the batch "
+    "latest_event_per_user formulation, which is exactly the oracle. "
+    "The online materialized-view pattern (CDC → compacted snapshot); "
+    "state is one row per user, mergeable, watermark-evictable.",
+)
+def q_streaming_compacted_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.streaming.stream import (
+        streaming_latest_upsert,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    emitted = run_available_now(
+        streaming_latest_upsert(stream), output_mode="append",
+        state_partitions=8,
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("tus").desc(), F.col("event_id").desc()
+    )
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("tus").alias("last_tus"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value_centi").alias("last_value_centi"),
+        )
+    )

@@ -481,3 +481,80 @@ def streaming_rate_limiter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+UPSERT_STATE_SHARDS = 8
+UPSERT_OUTPUT = (
+    "user_id long, tus long, event_id long, event_type string, "
+    "value_centi long"
+)
+UPSERT_STATE = "m string"
+
+
+def streaming_latest_upsert(
+    events: DataFrame, shards: int = UPSERT_STATE_SHARDS
+) -> DataFrame:
+    """Online keyed upsert (Kafka-compaction semantics) via
+    ``applyInPandasWithState``.
+
+    State holds, per user, the latest event on the total order
+    ``(event-time µs, event_id)``; every microbatch merges its rows into
+    the state and emits the POST-MERGE latest for each user it touched.
+    Emitting running candidates (instead of only a final snapshot, which
+    would need a timeout to fire at drain end) makes the drained output
+    batching-independent: the true compacted row per user is the max over
+    emitted candidates on the same total order, which the registered query
+    takes with a user-partitioned window — so stream ≡ batch
+    ``latest_event_per_user`` whatever the file-source batch boundaries.
+    Sharded state like the FIFO kernel (map stays one row per user seen).
+    """
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        latest = json.loads(state.get[0]) if state.exists else {}
+        touched = set()
+        for r in batch.itertuples():
+            cur = latest.get(str(r.user_id))
+            cand = [
+                int(r.tus),
+                int(r.event_id),
+                str(r.event_type),
+                int(r.value_centi),
+            ]
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                latest[str(r.user_id)] = cand
+            touched.add(str(r.user_id))
+        state.update((json.dumps(latest),))
+        out = [
+            (int(u), *latest[u][:2], latest[u][2], latest[u][3])
+            for u in sorted(touched)
+        ]
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "tus", "event_id", "event_type", "value_centi"],
+        )
+
+    keyed = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(shards)).alias(
+            "shard"
+        ),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=UPSERT_OUTPUT,
+        stateStructType=UPSERT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

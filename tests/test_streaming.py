@@ -436,3 +436,43 @@ def test_lateness_block_prefix_scan_equals_global_window(spark, tmp_path):
         assert got[et].n == naive[et].n
         assert got[et].max_late_us == naive[et].max_late_us
         assert got[et].drop_frac_1m == naive[et].drop_frac_1m
+
+
+def test_streaming_compaction_matches_batch_latest(spark, sf_dir):
+    """Drained upsert snapshot must equal the batch latest-event view,
+    independent of how the file source batched the input."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans.streaming_queries import (
+        q_streaming_compacted_latest,
+    )
+    from queue_system_simulator_spark.schema import load_table
+
+    got = {
+        r["user_id"]: (
+            r["last_tus"],
+            r["last_event_id"],
+            r["last_event_type"],
+            r["last_value_centi"],
+        )
+        for r in q_streaming_compacted_latest(spark, sf_dir).collect()
+    }
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("tus").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["tus"], r["event_id"], r["event_type"], r["vc"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
