@@ -1365,3 +1365,68 @@ def q_schema_evolution_mergeread(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("value_centi")).alias("n_null_centi"),
         F.coalesce(F.sum("value_centi"), F.lit(0)).alias("sum_centi"),
     )
+
+
+@register(
+    "compressed_roundtrip",
+    oracle="""
+SELECT 'csv_gzip' AS codec_path, event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'parquet_zstd', event_type, count(*),
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+FROM events GROUP BY event_type
+""",
+    description="Compression-codec round-trips: the same events frame "
+    "written as gzip CSV and zstd parquet, each read back through the "
+    "codec-detecting readers and aggregated — the oracle computes the "
+    "identical aggregate from the ORIGINAL table, so any row lost or "
+    "value corrupted by either codec path breaks the hash. zstd parquet "
+    "is the 100 TB lake default (ratio ≈ gzip at ~3× decode speed); "
+    "gzip CSV is what upstream exports actually deliver. Integer cents "
+    "keep both paths exact; timestamps ride as ISO strings in the CSV "
+    "leg (CSV has no native timestamp) and are not part of the grade.",
+)
+def q_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    root = _scratch_dir("codec_rt", sf_dir)
+    csv_dir = os.path.join(root, "csv_gz")
+    pq_dir = os.path.join(root, "pq_zstd")
+    ev.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(csv_dir)
+    ev.write.mode("overwrite").option("compression", "zstd").parquet(pq_dir)
+    csv_back = (
+        spark.read.option("header", True)
+        .schema("event_id long, event_type string, vc long")
+        .csv(csv_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sum_centi")
+        )
+        .select(
+            F.lit("csv_gzip").alias("codec_path"),
+            "event_type",
+            "n",
+            "sum_centi",
+        )
+    )
+    pq_back = (
+        spark.read.parquet(pq_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sum_centi"))
+        .select(
+            F.lit("parquet_zstd").alias("codec_path"),
+            "event_type",
+            "n",
+            "sum_centi",
+        )
+    )
+    return csv_back.unionAll(pq_back)

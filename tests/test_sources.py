@@ -395,3 +395,26 @@ def test_schema_evolution_null_fill_and_partition_column(spark, sf_dir):
     # files written with it have no nulls and a real sum
     assert rows[1]["n_null_centi"] == 0
     assert rows[1]["sum_centi"] > 0
+
+
+def test_compressed_roundtrip_files_are_actually_compressed(spark, sf_dir):
+    import glob
+    import os
+
+    from queue_system_simulator_spark.plans.reference_queries import (
+        _scratch_dir,
+        q_compressed_roundtrip,
+    )
+
+    rows = q_compressed_roundtrip(spark, sf_dir).collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r["codec_path"], []).append(r)
+    # both legs must agree exactly with each other
+    a = sorted((r["event_type"], r["n"], r["sum_centi"]) for r in by_path["csv_gzip"])
+    b = sorted((r["event_type"], r["n"], r["sum_centi"]) for r in by_path["parquet_zstd"])
+    assert a == b
+    root = _scratch_dir("codec_rt", sf_dir)
+    assert glob.glob(os.path.join(root, "csv_gz", "*.csv.gz"))
+    pq = glob.glob(os.path.join(root, "pq_zstd", "*.parquet"))
+    assert pq and all("zstd" in os.path.basename(p) for p in pq)
