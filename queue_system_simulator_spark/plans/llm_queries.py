@@ -6399,3 +6399,121 @@ def q_blocking_strategy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scorecard("prefix_filter", cand_prefix).unionAll(
         scorecard("lsh_bands", cand_lsh)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF cosine scoring of candidate pairs (IR-weighted verify stage)
+# --------------------------------------------------------------------------
+_SHINGLES_MULTI_SQL = """
+SELECT doc_id, shingle FROM (
+  SELECT d.doc_id,
+         t.tokens[i] || ' ' || t.tokens[i+1] || ' ' || t.tokens[i+2] AS shingle
+  FROM documents d,
+       LATERAL (SELECT string_split(d.text, ' ') AS tokens) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t.tokens) - 2, 0))) AS i) s
+) x
+"""
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+WITH tokm AS MATERIALIZED ({_SHINGLES_MULTI_SQL}),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tokm),
+tf AS (SELECT doc_id, shingle, count(*) AS tf FROM tokm GROUP BY 1, 2),
+df AS (SELECT shingle, count(*) AS df FROM tf GROUP BY shingle),
+w AS (
+  SELECT tf.doc_id, tf.shingle,
+         tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df) AS w
+  FROM tf JOIN df USING (shingle), nd
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+sig AS MATERIALIZED ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(wa.w * wb.w) AS dot,
+         count(*) AS n_shared_terms
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.doc_a
+  JOIN w wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       CAST(d.n_shared_terms AS BIGINT) AS n_shared_terms,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
+            JOIN nrm nb ON nb.doc_id = d.doc_b
+""",
+    description="TF-IDF cosine scoring of the LSH candidate pairs — the "
+    "IR-weighted verify stage: where Jaccard counts shared shingles "
+    "equally, tf·idf weighting makes agreement on RARE shingles dominate "
+    "(boilerplate shingles shared by everything contribute ~ln(1)=0), "
+    "the standard scorer when near-dup candidates must be ranked, not "
+    "just thresholded. Candidates come from the banked MinHash bands, "
+    "weights from one (doc, term) aggregation + a broadcast-size df "
+    "join; the pair dot products shuffle on (pair, shingle) only for "
+    "candidate docs, never the corpus.",
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = F.expr(
+        f"transform({sliding_index_sql('toks', 3)}, "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
+        "element_at(toks, i + 2)))"
+    )
+    tokm = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    tf = tokm.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    nd = tf.select("doc_id").distinct().count()
+    df = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df, "shingle").select(
+        "doc_id",
+        "shingle",
+        (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("w"),
+    ).cache()
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    cand = _lsh_candidates(_minhash_wide(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "tfidf_cosine"
+            ),
+        )
+    )

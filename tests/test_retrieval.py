@@ -361,3 +361,25 @@ def test_blocking_eval_prefix_recall_is_one(spark, sf_dir):
         assert 0 <= r["n_hit"] <= min(r["n_true"], r["n_candidates"])
         assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
     assert rows["prefix_filter"]["n_true"] == rows["lsh_bands"]["n_true"]
+
+
+def test_tfidf_cosine_in_unit_range_and_pairs_match_lsh(spark, sf_dir):
+    from queue_system_simulator_spark.plans.llm_queries import (
+        _lsh_candidates,
+        _minhash_wide,
+        q_tfidf_cosine_pairs,
+    )
+
+    rows = q_tfidf_cosine_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["tfidf_cosine"] <= 1.0 + 1e-6
+        assert r["n_shared_terms"] >= 1
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_candidates(_minhash_wide(spark, sf_dir)).collect()
+    }
+    # every scored pair is an LSH candidate (pairs with zero shared terms
+    # would drop out of the inner dot-product join; none exist here)
+    assert got_pairs <= cand
