@@ -6517,3 +6517,96 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf exponent of the shingle-frequency distribution
+# --------------------------------------------------------------------------
+@register(
+    "zipf_exponent_fit",
+    oracle=f"""
+WITH tokm AS ({_SHINGLES_MULTI_SQL}),
+freq AS (SELECT shingle, count(*) AS f FROM tokm GROUP BY shingle),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, shingle) AS r FROM freq
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked
+)
+SELECT count(*) AS n_terms,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS HUGEINT)::VARCHAR
+         AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS HUGEINT)::VARCHAR
+         AS slope_den,
+       round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 6)
+         AS zipf_slope
+FROM pts
+""",
+    description="Zipf power-law fit of the shingle-frequency distribution — "
+    "the corpus-statistics sanity check (natural language slopes ≈ −1; "
+    "synthetic word-soup flattens): least-squares slope of ln(freq) vs "
+    "ln(rank). Exactness trick: each point's logs are rounded to integer "
+    "micro-units FIRST, so every downstream moment sum is integer "
+    "arithmetic — no float-fold order sensitivity at any scale (the "
+    "moment products exceed int64, so they grade as decimal strings). "
+    "The frequency rank uses the two-phase global_row_number — the "
+    "vocabulary-rank hazard VERDICT_r4 flagged elsewhere, done the "
+    "scale-safe way here.",
+)
+def q_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.operators.statistics import (
+        global_row_number,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = F.expr(
+        f"transform({sliding_index_sql('toks', 3)}, "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
+        "element_at(toks, i + 2)))"
+    )
+    freq = (
+        docs.select(F.explode(sh).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked, _ = global_row_number(
+        freq, [F.desc("f"), F.asc("shingle")], out_col="r"
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    # moment products exceed int64 once the vocabulary passes ~1e5 terms
+    # (x·y ≈ 1.4e14 each): sum in DECIMAL on the Spark side — DuckDB's
+    # BIGINT sums auto-promote to HUGEINT, so both sides stay exact and
+    # num/den grade as decimal strings.  Operands kept at (20,0) so the
+    # products stay inside Spark's 38-digit cap (verify-skill lesson).
+    dec = "decimal(20,0)"
+    n = F.count(F.lit(1)).cast(dec)
+    sx = F.sum("x").cast(dec)
+    sy = F.sum("y").cast(dec)
+    sxy = F.sum((F.col("x") * F.col("y")).cast(dec))
+    sx2 = F.sum((F.col("x") * F.col("x")).cast(dec))
+    num = n * sxy - sx * sy
+    den = n * sx2 - sx * sx
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        num.cast("decimal(38,0)").cast("string").alias("slope_num"),
+        den.cast("decimal(38,0)").cast("string").alias("slope_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "zipf_slope"
+        ),
+    )

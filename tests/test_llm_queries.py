@@ -901,3 +901,18 @@ def test_kcore_trajectory_monotone_and_stabilizes(spark, sf_dir):
                 (c["n_nodes"], c["n_edges"]) == (a["n_nodes"], a["n_edges"])
                 for c in rows[rows.index(b):]
             )
+
+
+def test_zipf_slope_negative_and_decomposes(spark, sf_dir):
+    from queue_system_simulator_spark.plans.llm_queries import (
+        q_zipf_exponent_fit,
+    )
+
+    r = q_zipf_exponent_fit(spark, sf_dir).collect()[0]
+    # frequency can only fall with rank: the fitted slope must be negative
+    assert r["zipf_slope"] < 0
+    assert r["n_terms"] > 0
+    # num/den grade as decimal strings because they exceed int64
+    num, den = int(r["slope_num"]), int(r["slope_den"])
+    assert den > 0
+    assert abs(r["zipf_slope"] - round(num / den, 6)) < 1e-9
