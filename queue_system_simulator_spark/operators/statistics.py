@@ -38,6 +38,42 @@ from queue_system_simulator_spark.operators.transforms import (
 NUM_EXTERNAL_APIS = 5
 EXTERNAL_API_RPM_LIMIT = 60
 
+#: Cached range-partitioned frames pinned by the two-phase helpers
+#: (:func:`global_row_number` / :func:`global_cumsum`).  The cache must
+#: outlive the helper call — the returned lazy DataFrame still reads it —
+#: so each helper unpersists the PREVIOUS call's frame on entry instead,
+#: bounding pinned storage to one frame per helper rather than one per
+#: invocation (bench runs each query 3×; unbounded pinning adds steady
+#: eviction pressure).  Unpinning early is safe for correctness: if a
+#: not-yet-materialized result loses its cache it recomputes through the
+#: same range partitioner (seed derived from the RDD) under the helpers'
+#: total-order contract, reproducing identical bucket membership/ranks.
+_PINNED: dict[str, DataFrame] = {}
+
+
+def _pin(slot: str, frame: DataFrame) -> None:
+    prev = _PINNED.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down between calls — nothing to release
+    _PINNED[slot] = frame
+
+
+def release_pinned() -> None:
+    """Unpersist any frames still pinned by the two-phase rank helpers.
+
+    Call after the consuming query has been materialized (tests/bench
+    teardown); safe to call at any time per the recompute contract above.
+    """
+    while _PINNED:
+        _, frame = _PINNED.popitem()
+        try:
+            frame.unpersist(blocking=False)
+        except Exception:
+            pass
+
 PERCENTILES = (0.5, 0.75, 0.9, 0.99)
 
 
@@ -323,6 +359,7 @@ def global_row_number(
         .withColumn("__gr_pid", F.spark_partition_id())
         .cache()
     )
+    _pin("global_row_number", parts)
     counts = {
         r["__gr_pid"]: r["c"]
         for r in parts.groupBy("__gr_pid")
@@ -369,10 +406,13 @@ def exact_ntile(
     if base == 0:
         bucket = r  # fewer rows than buckets: bucket == rank
     else:
+        # integer `div`, not float `/`+truncate: keeps the whole ntile
+        # path integer-exact at any rank magnitude (a double mantissa
+        # holds 2^53 — fine today, but no reason to depend on it)
         bucket = F.when(
-            r <= F.lit(cut), ((r - 1) / F.lit(big)).cast("long") + 1
+            r <= F.lit(cut), F.expr(f"(__nt_rn - 1) div {big}") + 1
         ).otherwise(
-            F.lit(rem) + ((r - 1 - F.lit(cut)) / F.lit(base)).cast("long") + 1
+            F.lit(rem) + F.expr(f"(__nt_rn - 1 - {cut}) div {base}") + 1
         )
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__nt_rn")
 
@@ -420,6 +460,7 @@ def global_cumsum(
         .withColumn("__cs_pid", F.spark_partition_id())
         .cache()
     )
+    _pin("global_cumsum", parts)
     partials = (
         parts.groupBy("__cs_pid", *group_by)
         .agg(F.sum("__cs_v").alias("s"))
@@ -449,5 +490,66 @@ def global_cumsum(
             out_col, F.col("__cs_off") + F.coalesce(F.col("__cs_run"), F.lit(0))
         )
         .drop("__cs_pid", "__cs_run", "__cs_off", "__cs_v")
+    )
+    return out
+
+
+def global_cummax(
+    df: DataFrame,
+    order_by: list,
+    val_col,
+    out_col: str = "cum_max",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed ``max(val) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
+    [AND 1 PRECEDING])`` — the running-max sibling of :func:`global_cumsum`.
+
+    A global running max is the same single-partition-window hazard as a
+    global prefix sum; max is associative and prefix-decomposable the same
+    way, so the identical two-phase scheme applies:
+
+    1. ``repartitionByRange`` on the order columns (cached; recompute is
+       deterministic under the total-order contract — see
+       :func:`global_row_number`);
+    2. per-bucket max → driver (O(parallelism) rows) → EXCLUSIVE running
+       max per bucket (null for the first bucket), broadcast back;
+    3. in-bucket running max window (every bucket in parallel) combined
+       with the bucket offset via ``greatest`` (null-skipping, so the
+       global first row is null in exclusive mode — SQL window semantics).
+
+    ``order_by`` must be a total order; ``val_col`` may be any orderable
+    type (long here — callers pass integer microseconds).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    slots = max(int(spark.sparkContext.defaultParallelism), 1)
+    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    parts = (
+        df.withColumn("__cm_v", v.cast("long"))
+        .repartitionByRange(slots, *order_by)
+        .withColumn("__cm_pid", F.spark_partition_id())
+        .cache()
+    )
+    _pin("global_cummax", parts)
+    partials = (
+        parts.groupBy("__cm_pid").agg(F.max("__cm_v").alias("m")).collect()
+    )
+    offsets = []
+    run: int | None = None
+    for row in sorted(partials, key=lambda r: r["__cm_pid"]):
+        offsets.append((row["__cm_pid"], run))
+        if row["m"] is not None:
+            run = row["m"] if run is None else max(run, row["m"])
+    off_df = spark.createDataFrame(
+        offsets or [(0, None)], "__cm_pid int, __cm_off long"
+    )
+    w = Window.partitionBy("__cm_pid").orderBy(*order_by)
+    frame = w.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    out = (
+        parts.withColumn("__cm_run", F.max("__cm_v").over(frame))
+        .join(F.broadcast(off_df), "__cm_pid")
+        .withColumn(out_col, F.greatest(F.col("__cm_off"), F.col("__cm_run")))
+        .drop("__cm_pid", "__cm_run", "__cm_off", "__cm_v")
     )
     return out

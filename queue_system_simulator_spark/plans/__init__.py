@@ -19,90 +19,90 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 )
 
 #: The driver grades exactly the FIRST 50 entries of ``queries()`` in
-#: registration order, so ordering is part of the contract.  Round-5
-#: rotation: cumulative driver-green coverage after rounds 1-4 is
-#: 142/209 registered queries, with 67 lacking a current green row
-#: (tools/coverage_ledger.py).  This window keeps just 2 continuity
-#: anchors (ingest + the DES kernel, green in every prior round) and
-#: spends 48 slots on queries without a green driver row, prioritizing
-#: (a) the 10 analytics queries whose only driver record is a stale
-#: round-1 environment error (`PARQUET_TYPE_ILLEGAL` on the old events
-#: parquet — fixed in r02, re-verified locally every round since) and
-#: (b) one-or-more members of every still-ungraded family: sketches
-#: (HLL/CMS), privacy (k-anon, pseudonymization), MinHash/SimHash/IVF/PQ
-#: building blocks + the composed IVF-PQ stack, multimodal aHash dedup,
-#: dedup policy/span-removal/containment, graph triangles, as-of joins,
-#: top-k with ties, the watermark audit, and the two-phase-rank rewrites
-#: from this round (order_value_deciles, quality_dup_calibration,
-#: vocab_roundtrip_check) so their new partition-safe plans get graded.
-#: Everything rotated OUT was driver-green in a prior round
-#: (CORRECTNESS_r01..r04) and stays registered + locally gated
-#: (tools/check_oracle.py).  Still deferred to round 6 (all local-green):
-#: 15 oracle-backed (showcases, calendar/moments profiles, corpus mix,
-#: context windows, hard negatives, threshold sweep, cross-source dup
-#: matrix, weekly WoW, shuffle-hash join demo, sampled count,
-#: conversion-latency quantiles, variant props) + the 4 rows-only kernel
-#: RNG runs.  Cumulative after this window: ~190/209.
+#: registration order, so ordering is part of the contract.  Round-6
+#: rotation: cumulative driver-green coverage after rounds 1-5 is
+#: 190/251 registered queries (CORRECTNESS_r05 was 50/50 green), with 61
+#: never driver-graded (tools/coverage_ledger.py).  That pool EXCEEDS one
+#: 50-slot window, so this window keeps 2 continuity anchors (ingest +
+#: the DES kernel, green in every prior round) and spends 48 slots on
+#: never-graded queries in priority order per VERDICT_r5 item 1:
+#: (a) all 15 oracle-backed pre-round-5 deferrals (showcases, calendar/
+#: moments profiles, corpus mix, context windows, hard negatives,
+#: threshold sweep, cross-source dup matrix, weekly WoW, shuffle-hash
+#: join demo, sampled count, conversion-latency quantiles, variant
+#: props); (b) all 13 round-5a additions (TPC-H q16, bucketed join,
+#: BM25, curation funnel, MAD anomalies, partition pruning, text-log /
+#: binaryFile sources, the LSH/IVF calibration sweeps, tokenizer
+#: fertility, CoGroupedMap); (c) 20 of the 29 round-5b additions,
+#: user-impact first (CDC MERGE, streaming compaction, schema evolution,
+#: column drift, compressed round-trips, the AllPairs prefix filter,
+#: blocking eval, TF-IDF verify scorer, SQ8 rerank, Zipf fit, k-core,
+#: shard layout/packing, privacy noise, entropy quality, sketch-accuracy
+#: eval — minhash_estimate_error newly pair-capped this round).
+#: Deferred to round 7 (all local-green at sf0.01 AND sf0.1): 9
+#: oracle-backed r5b analytics (ewma_daily_value,
+#: event_rate_autocorrelation, peak_concurrency_sweep,
+#: stl_weekly_decompose, stl_residual_anomalies, regression_slope_daily,
+#: event_path_topk, benford_price_audit, deterministic_shuffle_order) +
+#: the 4 rows-only kernel RNG runs.  Everything rotated OUT was
+#: driver-green in a prior round (CORRECTNESS_r01..r05) and stays
+#: registered + locally gated.  Cumulative if this window grades green:
+#: 238/251.
 DRIVER_WINDOW = [
-    # --- continuity anchors (green in r01+r02+r03+r04) ---
+    # --- continuity anchors (green in r01..r05) ---
     "ingest_requests",
     "kernel_fifo_k1",
-    # --- the 10 stale-r01-error analytics queries (env error fixed in
-    # r02; these look like failures on the scoreboard until re-graded) ---
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "value_histogram",
-    "rate_anomalies",
-    "event_type_transitions",
-    "events_null_audit",
-    "latest_event_per_user",
-    "value_percentiles_by_type",
-    "user_event_pivot",
-    "session_conversion",
-    # --- sketches / streaming-adjacent analytics ---
-    "hll_distinct_users",
-    "cms_heavy_hitters",
-    "hll_incremental_merge",
-    "sliding_distinct_users",
-    "watermark_lateness_audit",
-    # --- privacy / governance ---
-    "k_anon_generalize",
-    "pseudonymize_join_audit",
-    # --- product analytics breadth ---
-    "attribution_linear_credit",
-    "recency_weighted_value",
-    "user_burstiness",
-    "slo_burn_rate",
-    "ab_test_conversion",
-    "transition_prediction_eval",
-    "skew_diagnosis_report",
-    "topk_with_ties",
-    "asof_join_next_error",
-    # --- relational breadth ---
-    "customers_without_orders",
-    "order_value_deciles",
-    "order_line_summary",
-    "referential_integrity_audit",
-    "nation_revenue_share",
-    "jsonl_roundtrip",
-    # --- dedup / similarity building blocks and stacks ---
-    "minhash_signatures",
-    "simhash_signatures",
-    "embed_ivf_centroids",
-    "pq_codebook_assign",
-    "ivf_pq_topk",
-    "pq_recall_at_k",
-    "hybrid_rrf_topk",
-    "pair_graph_triangles",
-    "ngram_containment_pairs",
-    "dup_span_removal",
-    "dedup_keep_best_quality",
-    "quality_dup_calibration",
-    "multimodal_ahash_dedup",
-    # --- corpus curation ---
-    "temperature_source_resample",
-    "corpus_drift_tokens",
-    "vocab_roundtrip_check",
+    # --- (a) pre-round-5 oracle-backed deferrals ---
+    "conversion_latency_quantiles",
+    "null_semantics_showcase",
+    "events_calendar_profile",
+    "value_moments_by_type",
+    "sampled_count_estimate",
+    "map_functions_showcase",
+    "array_functions_showcase",
+    "variant_props_extract",
+    "corpus_mix_sample",
+    "context_windows",
+    "hard_negative_mining",
+    "filter_threshold_sweep",
+    "cross_source_dup_matrix",
+    "shuffle_hash_join_orders",
+    "weekly_revenue_wow",
+    # --- (b) round-5a additions ---
+    "tpch_q16_part_supplier_counts",
+    "bucketed_join_orders",
+    "bm25_topk",
+    "curation_pipeline_report",
+    "mad_robust_anomalies",
+    "partition_pruned_scan",
+    "textlog_parse",
+    "binaryfile_ingest",
+    "lsh_threshold_sweep",
+    "lsh_bands_sweep",
+    "ivf_nprobe_sweep",
+    "tokenizer_fertility_by_lang",
+    "cogroup_click_context",
+    # --- (c) round-5b additions, user-impact first ---
+    "cdc_merge_orders",
+    "streaming_compacted_latest",
+    "schema_evolution_mergeread",
+    "column_profile_drift",
+    "compressed_roundtrip",
+    "prefix_filter_jaccard_pairs",
+    "blocking_strategy_eval",
+    "tfidf_cosine_pairs",
+    "minhash_estimate_error",
+    "sq8_rerank_topk",
+    "quantile_normalize_embeddings",
+    "hll_precision_sweep",
+    "dp_noisy_counts",
+    "source_lang_entropy",
+    "char_entropy_quality",
+    "zipf_exponent_fit",
+    "kcore_peel_rounds",
+    "multimodal_shard_packing",
+    "lineitem_range_shard_manifest",
+    "token_shard_assignment",
 ]
 
 

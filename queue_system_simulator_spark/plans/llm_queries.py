@@ -5783,11 +5783,19 @@ FROM agg
 )
 def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    ch = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-        "text",
-    ).select("doc_id", F.expr("substr(text, i, 1)").alias("c"))
+    # length > 0 guard: Spark's sequence(1, 0) auto-steps DOWN to [1, 0]
+    # (two rows) where the oracle's generate_series(1, 0) is empty — an
+    # empty document would diverge cross-engine without the filter, and
+    # a zero-char doc has no entropy row under either semantics anyway
+    ch = (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substr(text, i, 1)").alias("c"))
+    )
     cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
     total = F.sum("k")
     h = F.log(total.cast("double")) - F.sum(
@@ -5970,14 +5978,43 @@ def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash estimator accuracy vs exact Jaccard (sketch-accuracy axis)
 # --------------------------------------------------------------------------
+# deterministic md5-ranked candidate sample size: large enough that the
+# surviving true-pair set stays statistically useful (true pairs are a few
+# ‰ of prefix candidates on natural corpora), small enough to broadcast —
+# 20k (doc_a, doc_b, na, nb) rows is ~640 kB
+MH_EVAL_PAIRS = 20_000
+
+
 @register(
     "minhash_estimate_error",
     oracle=f"""
-WITH tok AS ({_SHINGLES_SQL}),
+WITH tok AS MATERIALIZED ({_SHINGLES_SQL}),
 n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+df AS (SELECT shingle, count(*) AS df FROM tok GROUP BY shingle),
+pref AS (
+  SELECT doc_id, shingle FROM (
+    SELECT t.doc_id, t.shingle,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY df.df, t.shingle) AS rn,
+           n.n
+    FROM tok t JOIN df USING (shingle) JOIN n USING (doc_id))
+  WHERE rn <= n - CAST(ceil({PF_TAU} * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sampled AS (
+  SELECT doc_a, doc_b FROM cand
+  ORDER BY md5(CAST(doc_a AS VARCHAR) || ',' || CAST(doc_b AS VARCHAR)),
+           doc_a, doc_b
+  LIMIT {MH_EVAL_PAIRS}
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM sampled c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -6010,14 +6047,81 @@ FROM m
     f"of agreeing components across the {NUM_MINHASH}-hash signature vs "
     "the exact Jaccard it estimates, with per-pair |error| — the measured "
     "±1/√k band an operator consults before sizing signatures for a "
-    "100 TB dedup run. Truth pairs come from the zero-false-negative "
-    "prefix-filtered join; signatures are the SAME md5-permutation "
-    "sketches the LSH pipeline banks, so the eval reuses both production "
-    "artifacts instead of recomputing them differently.",
+    "100 TB dedup run. Truth comes from the zero-false-negative prefix "
+    "filter; signatures are the SAME md5-permutation sketches the LSH "
+    "pipeline banks, so the eval reuses both production artifacts instead "
+    "of recomputing them differently. An accuracy evaluator doesn't need "
+    "the full pair population: an md5-ranked deterministic sample of ≤"
+    f"{MH_EVAL_PAIRS} CANDIDATE pairs (sampled pre-verify — candidates "
+    "are signature-independent, so the sample is unbiased) is exact-"
+    "verified with the pair set BROADCAST, capping the (pair,shingle) "
+    "verify shuffle and the signature join at the sample size whatever "
+    "the corpus's pair mass (VERDICT_r5 #3). orderBy+limit plans as "
+    "TakeOrderedAndProject — per-partition top-N, no single-task funnel.",
 )
 def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_prefix_filter_jaccard_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", "jaccard"
+    from pyspark.sql import Window
+
+    tok = _shingles(spark, sf_dir).select("doc_id", "shingle").cache()
+    dfreq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id")
+    w = wd.orderBy("df", "shingle")
+    pref = (
+        tok.join(dfreq, "shingle")
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle", "n")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    # deterministic candidate sample (pre-verify): per-partition top-N by
+    # md5 of the id pair, merged on the driver — the cap that decouples
+    # everything downstream from the corpus's pair mass
+    sampled = cand.orderBy(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.col("doc_a").cast("string"),
+                F.col("doc_b").cast("string"),
+            )
+        ),
+        "doc_a",
+        "doc_b",
+    ).limit(MH_EVAL_PAIRS)
+    # exact verify over the BROADCAST ≤1000-pair sample: both tok joins
+    # become broadcast joins, never a corpus-wide pair shuffle
+    inter = (
+        F.broadcast(sampled)
+        .join(tok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tok.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.shingle") == F.col("tb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    uni = F.col("na") + F.col("nb") - F.col("n_inter")
+    jacc = F.col("n_inter").cast("double") / uni
+    pairs = inter.filter(jacc >= PF_TAU).select(
+        "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
     )
     mh = q_minhash_signatures(spark, sf_dir)
     a = mh.select(
@@ -6424,10 +6528,13 @@ tf AS (SELECT doc_id, shingle, count(*) AS tf FROM tokm GROUP BY 1, 2),
 df AS (SELECT shingle, count(*) AS df FROM tf GROUP BY shingle),
 w AS (
   SELECT tf.doc_id, tf.shingle,
-         tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df) AS w
+         CAST(round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df) * 1000000)
+              AS BIGINT) AS wm
   FROM tf JOIN df USING (shingle), nd
 ),
-nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+nrm AS (
+  SELECT doc_id, sum(CAST(wm AS HUGEINT) * wm) AS nsq FROM w GROUP BY doc_id
+),
 sig AS MATERIALIZED ({_MINHASH_SQL}),
 bands AS (
   SELECT doc_id, seed // {BAND_SIZE} AS band,
@@ -6441,7 +6548,7 @@ cand AS (
 ),
 dots AS (
   SELECT c.doc_a, c.doc_b,
-         sum(wa.w * wb.w) AS dot,
+         sum(CAST(wa.wm AS HUGEINT) * wb.wm) AS dot,
          count(*) AS n_shared_terms
   FROM cand c
   JOIN w wa ON wa.doc_id = c.doc_a
@@ -6450,7 +6557,9 @@ dots AS (
 )
 SELECT d.doc_a, d.doc_b,
        CAST(d.n_shared_terms AS BIGINT) AS n_shared_terms,
-       round(d.dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+       round(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))),
+             6) AS tfidf_cosine
 FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
             JOIN nrm nb ON nb.doc_id = d.doc_b
 """,
@@ -6462,7 +6571,11 @@ FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
     "just thresholded. Candidates come from the banked MinHash bands, "
     "weights from one (doc, term) aggregation + a broadcast-size df "
     "join; the pair dot products shuffle on (pair, shingle) only for "
-    "candidate docs, never the corpus.",
+    "candidate docs, never the corpus. Exactness: per-(doc,term) tf·idf "
+    "weights are rounded to integer micro-units BEFORE any sum (the "
+    "bm25_topk / zipf_exponent_fit pattern), so dot products and norm "
+    "squares are order-insensitive integer arithmetic on both engines; "
+    "only the final sqrt/divide/round touches floats.",
 )
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).select(
@@ -6477,34 +6590,43 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tokm.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
     nd = tf.select("doc_id").distinct().count()
     df = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # integer micro-unit weights: the one float op (ln) happens per
+    # (doc, term) row and is rounded immediately; every sum below is
+    # exact integer arithmetic (decimal here ≡ HUGEINT in the oracle),
+    # so partition/fold order can never flip a 6dp rounding boundary
     w = tf.join(df, "shingle").select(
         "doc_id",
         "shingle",
-        (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("w"),
+        F.round(F.col("tf") * F.log(F.lit(float(nd)) / F.col("df")) * 1e6)
+        .cast("long")
+        .alias("wm"),
     ).cache()
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    dec = "decimal(19,0)"
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("wm").cast(dec) * F.col("wm").cast(dec)).alias("nsq")
+    )
     cand = _lsh_candidates(_minhash_wide(spark, sf_dir)).select(
         "doc_a", "doc_b"
     )
     wa = w.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa")
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("wm").alias("wa")
     )
     wb = w.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shingle"),
-        F.col("w").alias("wb"),
+        F.col("wm").alias("wb"),
     )
     dots = (
         cand.join(wa, "doc_a")
         .join(wb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"),
             F.count(F.lit(1)).alias("n_shared_terms"),
         )
     )
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("nb"))
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -6512,9 +6634,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "n_shared_terms",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
-                "tfidf_cosine"
-            ),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("tfidf_cosine"),
         )
     )
 

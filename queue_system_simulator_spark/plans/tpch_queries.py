@@ -619,14 +619,13 @@ FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     description="TPC-H Q15 (top supplier): quarter revenue per supplier, "
-    "then the max filter runs as a window over the AGGREGATED frame (one "
-    "row per supplier) — the fact table is scanned once and never "
-    "re-joined for the scalar max; comparison happens on the exact decimal "
-    "before the final double cast.",
+    "then the scalar max is a one-row aggregate cross-joined back "
+    "broadcast (the tpch_q11 pattern) — no empty-partition window, so no "
+    "single task ever holds the per-supplier frame (millions of rows at "
+    "100 TB); the fact table is scanned once, and the comparison happens "
+    "on the exact decimal before the final double cast.",
 )
 def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -634,13 +633,14 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price()).alias("total_revenue_dec")
-    )
-    # max over the aggregated frame: #suppliers rows, not #lineitems
-    rev = rev.withColumn(
-        "max_rev", F.max("total_revenue_dec").over(Window.partitionBy())
-    )
+    ).cache()  # tiny (one row per active supplier); read twice below
+    # scalar max via agg + broadcast crossJoin: both sides of the filter
+    # stay partition-parallel, unlike max().over(Window.partitionBy())
+    # which funnels every supplier row through one window task
+    max_rev = rev.agg(F.max("total_revenue_dec").alias("max_rev"))
     return (
-        rev.filter(F.col("total_revenue_dec") == F.col("max_rev"))
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_dec") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",

@@ -483,33 +483,34 @@ def streaming_rate_limiter(
     )
 
 
-UPSERT_STATE_SHARDS = 8
 UPSERT_OUTPUT = (
     "user_id long, tus long, event_id long, event_type string, "
     "value_centi long"
 )
-UPSERT_STATE = "m string"
+UPSERT_STATE = "tus long, event_id long, event_type string, value_centi long"
 
 
-def streaming_latest_upsert(
-    events: DataFrame, shards: int = UPSERT_STATE_SHARDS
-) -> DataFrame:
+def streaming_latest_upsert(events: DataFrame) -> DataFrame:
     """Online keyed upsert (Kafka-compaction semantics) via
     ``applyInPandasWithState``.
 
-    State holds, per user, the latest event on the total order
-    ``(event-time µs, event_id)``; every microbatch merges its rows into
-    the state and emits the POST-MERGE latest for each user it touched.
-    Emitting running candidates (instead of only a final snapshot, which
-    would need a timeout to fire at drain end) makes the drained output
-    batching-independent: the true compacted row per user is the max over
-    emitted candidates on the same total order, which the registered query
-    takes with a user-partitioned window — so stream ≡ batch
-    ``latest_event_per_user`` whatever the file-source batch boundaries.
-    Sharded state like the FIFO kernel (map stays one row per user seen).
+    Groups on ``user_id`` itself, so the state store holds **one small
+    typed row per user** — (tus, event_id, event_type, value_centi), the
+    latest event on the total order ``(event-time µs, event_id)`` — which
+    is how Structured Streaming state is meant to scale: per-key rows in
+    the HDFS/RocksDB state store, no serialized map-of-everything.  Every
+    microbatch merges its rows into that row and emits the POST-MERGE
+    latest for the user.  Emitting running candidates (instead of only a
+    final snapshot, which would need a timeout to fire at drain end) makes
+    the drained output batching-independent: the true compacted row per
+    user is the max over emitted candidates on the same total order, which
+    the registered query takes with a user-partitioned window — so stream
+    ≡ batch ``latest_event_per_user`` whatever the file-source batch
+    boundaries.  State growth is O(distinct users) × one fixed-width row;
+    a deployment bounding user churn would swap NoTimeout for a
+    processing-time timeout and drop idle keys (compaction semantics make
+    re-insertion on a late revisit correct).
     """
-    import json
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
@@ -518,26 +519,14 @@ def streaming_latest_upsert(
         batch = pd.concat(list(pdfs))
         if batch.empty:
             return
-        latest = json.loads(state.get[0]) if state.exists else {}
-        touched = set()
-        for r in batch.itertuples():
-            cur = latest.get(str(r.user_id))
-            cand = [
-                int(r.tus),
-                int(r.event_id),
-                str(r.event_type),
-                int(r.value_centi),
-            ]
-            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
-                latest[str(r.user_id)] = cand
-            touched.add(str(r.user_id))
-        state.update((json.dumps(latest),))
-        out = [
-            (int(u), *latest[u][:2], latest[u][2], latest[u][3])
-            for u in sorted(touched)
-        ]
+        best = tuple(state.get) if state.exists else None
+        r = batch.sort_values(["tus", "event_id"]).iloc[-1]
+        cand = (int(r.tus), int(r.event_id), str(r.event_type), int(r.value_centi))
+        if best is None or (cand[0], cand[1]) > (int(best[0]), int(best[1])):
+            best = cand
+        state.update(best)
         yield pd.DataFrame(
-            out,
+            [(int(key[0]), int(best[0]), int(best[1]), best[2], int(best[3]))],
             columns=["user_id", "tus", "event_id", "event_type", "value_centi"],
         )
 
@@ -547,11 +536,8 @@ def streaming_latest_upsert(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_centi"),
-        F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(shards)).alias(
-            "shard"
-        ),
     )
-    return keyed.groupBy("shard").applyInPandasWithState(
+    return keyed.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=UPSERT_OUTPUT,
         stateStructType=UPSERT_STATE,

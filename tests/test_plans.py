@@ -95,11 +95,14 @@ def test_tpch_q13_preaggregates_orders_side(spark, sf_dir):
 
 def test_tpch_q15_single_fact_scan(spark, sf_dir):
     plan = _executed_plan(QUERIES["tpch_q15_top_supplier"].build(spark, sf_dir))
-    # the scalar max runs as a window over the aggregated per-supplier frame:
-    # lineitem is scanned exactly once
     assert plan.count("l_extendedprice") >= 1
-    assert sum("lineitem.parquet" in p for p in plan.split("Location")[1:]) <= 1
-    assert "Window" in plan
+    # the scalar max is agg + broadcast crossJoin over the CACHED
+    # per-supplier aggregate: no empty-partition window anywhere (the old
+    # shape funneled every supplier row through one window task), and the
+    # fact scan is shared through the InMemoryRelation rather than re-run
+    assert "Window" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_tpch_q17_broadcasts_part_stats(spark, sf_dir):
