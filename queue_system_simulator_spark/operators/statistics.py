@@ -39,36 +39,37 @@ NUM_EXTERNAL_APIS = 5
 EXTERNAL_API_RPM_LIMIT = 60
 
 #: Cached range-partitioned frames pinned by the two-phase helpers
-#: (:func:`global_row_number` / :func:`global_cumsum`).  The cache must
-#: outlive the helper call — the returned lazy DataFrame still reads it —
-#: so each helper unpersists the PREVIOUS call's frame on entry instead,
-#: bounding pinned storage to one frame per helper rather than one per
-#: invocation (bench runs each query 3×; unbounded pinning adds steady
-#: eviction pressure).  Unpinning early is safe for correctness: if a
-#: not-yet-materialized result loses its cache it recomputes through the
-#: same range partitioner (seed derived from the RDD) under the helpers'
-#: total-order contract, reproducing identical bucket membership/ranks.
-_PINNED: dict[str, DataFrame] = {}
+#: (:func:`global_row_number` / :func:`global_cumsum` /
+#: :func:`global_cummax`).  The cache is LOAD-BEARING until the consuming
+#: query materializes: the offset pass collected per-partition counts
+#: under one physical execution, and a recompute may not reproduce that
+#: partitioning (AQE can coalesce the range shuffle differently under
+#: fresh runtime stats — observed as a 17th ntile bucket when an eager
+#: unpersist forced a recompute), so frames must NOT be unpersisted
+#: behind a still-lazy result.  Callers that have materialized their
+#: results release storage with :func:`release_pinned` (bench.py's
+#: per-query ``spark.catalog.clearCache()`` does the same thing
+#: wholesale); within one long session any frame not explicitly released
+#: is reclaimed by Spark's LRU block eviction — a deliberate, documented
+#: reliance, not a leak: eviction after materialization is harmless, and
+#: eviction before it falls back to recompute only for the rare consumer
+#: that never ran, where a re-collected offset pass would also re-run.
+_PINNED: list[DataFrame] = []
 
 
 def _pin(slot: str, frame: DataFrame) -> None:
-    prev = _PINNED.pop(slot, None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session torn down between calls — nothing to release
-    _PINNED[slot] = frame
+    _PINNED.append(frame)
 
 
 def release_pinned() -> None:
-    """Unpersist any frames still pinned by the two-phase rank helpers.
+    """Unpersist every frame pinned by the two-phase rank helpers.
 
-    Call after the consuming query has been materialized (tests/bench
-    teardown); safe to call at any time per the recompute contract above.
+    Call after the consuming queries have been materialized (tests/bench
+    teardown).  Calling earlier risks the AQE recompute divergence
+    documented above — prefer finishing the action first.
     """
     while _PINNED:
-        _, frame = _PINNED.popitem()
+        frame = _PINNED.pop()
         try:
             frame.unpersist(blocking=False)
         except Exception:

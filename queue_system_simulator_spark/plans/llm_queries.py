@@ -6737,3 +6737,70 @@ def q_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified train/val/test split
+# --------------------------------------------------------------------------
+# hex thresholds over the first two md5 nibbles: buckets 0..255, train
+# < 0xcc (204/256 ≈ 79.7%), val < 0xe6 (26/256 ≈ 10.2%), test the rest.
+# Lowercase-hex string comparison IS numeric comparison at fixed width,
+# and both engines emit lowercase hex — no hex→int conversion needed.
+SPLIT_TRAIN_HEX = "cc"
+SPLIT_VAL_HEX = "e6"
+
+
+@register(
+    "stratified_split_assign",
+    oracle=f"""
+WITH assign AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_TRAIN_HEX}' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_VAL_HEX}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tot AS (SELECT source, count(*) AS n_source FROM assign GROUP BY source)
+SELECT a.source, a.split, count(*) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / any_value(t.n_source), 6)
+         AS frac_of_source
+FROM assign a JOIN tot t USING (source)
+GROUP BY a.source, a.split
+""",
+    description="Deterministic train/val/test split assignment — the "
+    "leakage-safe split every training pipeline needs: each document's "
+    "split is a pure function of md5(doc_id) (first two hex chars against "
+    "fixed thresholds — lowercase-hex string order IS numeric order, so "
+    "one comparison works on both engines), giving ≈80/10/10 within every "
+    "source stratum by hash uniformity. Entirely map-side — no per-source "
+    "rank, no shuffle until the audit aggregation — because a per-stratum "
+    "quota rank would funnel each source through one task at 100 TB; "
+    "hash-proportional assignment is the production pattern (stable under "
+    "re-runs, incremental ingest, and backfills: a doc never changes "
+    "split). The audit emits per-(source, split) counts and fractions.",
+)
+def q_stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assign = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.when(hx < SPLIT_TRAIN_HEX, "train")
+        .when(hx < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tot = assign.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    return (
+        assign.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_source"), 6
+            ).alias("frac_of_source"),
+        )
+    )

@@ -1159,3 +1159,166 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ben, 6).alias("benford_freq"),
         F.round((obs - ben) * (obs - ben) / ben, 6).alias("chi_component"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension build from a change log
+# --------------------------------------------------------------------------
+@register(
+    "scd2_dimension_build",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CASE WHEN value IS NULL THEN 'none'
+              WHEN value < 10 THEN 'low'
+              WHEN value < 100 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM events
+),
+flg AS (
+  SELECT user_id, tus, event_id, tier,
+         CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0 END
+           AS chg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+runs AS (
+  SELECT user_id, tier, tus,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS ver
+  FROM flg
+),
+v AS (
+  SELECT user_id, CAST(ver AS BIGINT) AS version, min(tier) AS tier,
+         min(tus) AS valid_from_us
+  FROM runs GROUP BY user_id, ver
+)
+SELECT user_id, version, tier, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to_us,
+       (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL) AS is_current
+FROM v
+""",
+    description="SCD Type-2 dimension build — the lakehouse pattern for "
+    "tracking attribute history: the event log is read as a change stream "
+    "of a per-user tier attribute (value-bucket projection), consecutive "
+    "equal-tier runs collapse into one versioned row with "
+    "[valid_from, valid_to) microsecond validity and an is_current flag — "
+    "exactly the dimension shape a warehouse MERGE maintains. All three "
+    "windows (change flag, running version, next-version lead) are "
+    "user-partitioned — keyed shuffles that shard by user at any scale; "
+    "no global order anywhere. Versions are integer run counters, bounds "
+    "are integer microseconds: hash-exact on both engines.",
+)
+def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.when(F.col("value").isNull(), "none")
+        .when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flg = ev.withColumn(
+        "chg",
+        F.when(F.col("tier").eqNullSafe(F.lag("tier").over(w)), 0).otherwise(1),
+    )
+    runs = flg.withColumn(
+        "ver", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    v = runs.groupBy("user_id", "ver").agg(
+        F.min("tier").alias("tier"), F.min("tus").alias("valid_from_us")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ver")
+    nxt = F.lead("valid_from_us").over(w2)
+    return v.select(
+        "user_id",
+        F.col("ver").cast("long").alias("version"),
+        "tier",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GDPR deletion-request cascade (right to be forgotten)
+# --------------------------------------------------------------------------
+@register(
+    "gdpr_delete_propagation",
+    oracle="""
+WITH del_cust AS (
+  SELECT c_custkey FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'
+),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+),
+del_line AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer) AS n_before,
+       (SELECT count(*) FROM del_cust) AS n_deleted,
+       (SELECT count(*) FROM customer) - (SELECT count(*) FROM del_cust)
+         AS n_after
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM del_orders),
+       (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM del_line),
+       (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_line)
+""",
+    description="GDPR deletion-request cascade — right-to-be-forgotten at "
+    "lake scale: a deterministic tombstone set (1/16 of customers by md5 "
+    "bucket, standing in for the day's deletion queue) cascades "
+    "customer → orders → lineitem through keyed LEFT SEMI joins, and the "
+    "audit reports per-table before/deleted/after counts — the compliance "
+    "evidence a deletion job must emit. Every hop shuffles on its join "
+    "key only (custkey then orderkey); no fact table is ever joined to "
+    "another fact, and the counts are map-side partial aggregates. The "
+    "rewrite path (anti-join producing the surviving table) is the same "
+    "plan with LEFT ANTI.",
+)
+def q_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    line = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    del_cust = cust.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "0"
+    )
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_line = line.join(
+        del_orders, line.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def audit(name: str, full: DataFrame, deleted: DataFrame) -> DataFrame:
+        n_b = full.agg(F.count(F.lit(1)).alias("n_before"))
+        n_d = deleted.agg(F.count(F.lit(1)).alias("n_deleted"))
+        return (
+            n_b.crossJoin(n_d)
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            )
+        )
+
+    return (
+        audit("customer", cust, del_cust)
+        .unionAll(audit("orders", orders, del_orders))
+        .unionAll(audit("lineitem", line, del_line))
+    )

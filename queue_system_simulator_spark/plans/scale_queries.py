@@ -500,3 +500,130 @@ def q_event_rate_autocorrelation(
             6,
         ).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering manifest — multi-dimensional data skipping
+# --------------------------------------------------------------------------
+Z_SHARDS = 16
+Z_BITS = 16
+
+#: bit-interleave as pure integer arithmetic so one formula runs on both
+#: engines (Spark `div`, DuckDB `//` — floor division on non-negative
+#: longs): z = Σ_i ((day_q >> i) & 1)·2^(2i+1) + ((cust_q >> i) & 1)·2^(2i)
+_Z_SPARK = " + ".join(
+    f"((dq div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    f" + ((cq div {1 << i}) % 2) * {1 << (2 * i)}"
+    for i in range(Z_BITS)
+)
+_Z_DUCK = " + ".join(
+    f"((dq // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    f" + ((cq // {1 << i}) % 2) * {1 << (2 * i)}"
+    for i in range(Z_BITS)
+)
+
+
+@register(
+    "zorder_layout_manifest",
+    oracle=f"""
+WITH o AS (
+  SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day, o_custkey, o_orderkey
+  FROM orders
+),
+b AS (
+  SELECT min(day) AS d0, greatest(max(day) - min(day), 1) AS dspan,
+         min(o_custkey) AS c0,
+         greatest(max(o_custkey) - min(o_custkey), 1) AS cspan
+  FROM o
+),
+q AS (
+  SELECT o.day, o.o_custkey, o.o_orderkey,
+         ((o.day - b.d0) * {(1 << Z_BITS) - 1}) // b.dspan AS dq,
+         ((o.o_custkey - b.c0) * {(1 << Z_BITS) - 1}) // b.cspan AS cq
+  FROM o, b
+),
+z AS (SELECT day, o_custkey, o_orderkey, {_Z_DUCK} AS zval FROM q),
+sharded AS (
+  SELECT 'zorder' AS layout, day, o_custkey,
+         ntile({Z_SHARDS}) OVER (ORDER BY zval, o_orderkey) AS shard
+  FROM z
+  UNION ALL
+  SELECT 'time_sorted', day, o_custkey,
+         ntile({Z_SHARDS}) OVER (ORDER BY day, o_orderkey) AS shard
+  FROM z
+)
+SELECT layout, CAST(shard AS INT) AS shard, count(*) AS n_rows,
+       min(day) AS min_day, max(day) AS max_day,
+       CAST(max(day) - min(day) + 1 AS BIGINT) AS day_span,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       CAST(max(o_custkey) - min(o_custkey) + 1 AS BIGINT) AS cust_span
+FROM sharded GROUP BY layout, shard
+""",
+    description="Z-order (Morton) clustering manifest — the multi-dimension "
+    "data-skipping layout every lakehouse OPTIMIZE implements: orderdate "
+    f"and custkey are quantized to {Z_BITS}-bit grids (integer scaling "
+    "against driver-fetched bounds — the two-phase adaptive pattern), bit-"
+    "interleaved with pure integer arithmetic (one shared formula, Spark "
+    "`div` ≡ DuckDB `//`), and range-sharded on the z-value via the two-"
+    f"phase exact-ntile into {Z_SHARDS} shards. The manifest records each "
+    "shard's per-dimension min/max — the zone map a scan prunes against — "
+    "for BOTH the z-order layout and the naive time-sorted layout, so the "
+    "output itself measures the trade: time-sorted shards span the full "
+    "custkey domain (no pruning on customer predicates), z-order shards "
+    "bound both dimensions at ~1/√shards of their domains.",
+)
+def q_zorder_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.operators.statistics import exact_ntile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_US_PER_DAY}")
+        .alias("day"),
+        "o_custkey",
+        "o_orderkey",
+    )
+    # bounds: 4 integers through the driver (the adaptive two-phase
+    # pattern statistics.py documents) — broadcast back inside literals
+    b = o.agg(
+        F.min("day"), F.max("day"), F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    d0, dspan = int(b[0]), max(int(b[1]) - int(b[0]), 1)
+    c0, cspan = int(b[2]), max(int(b[3]) - int(b[2]), 1)
+    mx = (1 << Z_BITS) - 1
+    q = o.select(
+        "day",
+        "o_custkey",
+        "o_orderkey",
+        F.expr(f"((day - {d0}) * {mx}) div {dspan}").alias("dq"),
+        F.expr(f"((o_custkey - {c0}) * {mx}) div {cspan}").alias("cq"),
+    )
+    z = q.select(
+        "day", "o_custkey", "o_orderkey", F.expr(_Z_SPARK).alias("zval")
+    )
+
+    def manifest(df: DataFrame, layout: str, order_cols: list) -> DataFrame:
+        sharded = exact_ntile(df, Z_SHARDS, order_cols, out_col="shard")
+        return sharded.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+            (F.max("day") - F.min("day") + 1).alias("day_span"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            (F.max("o_custkey") - F.min("o_custkey") + 1).alias("cust_span"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "shard",
+            "n_rows",
+            "min_day",
+            "max_day",
+            "day_span",
+            "min_cust",
+            "max_cust",
+            "cust_span",
+        )
+
+    return manifest(
+        z, "zorder", [F.col("zval"), F.col("o_orderkey")]
+    ).unionAll(
+        manifest(z, "time_sorted", [F.col("day"), F.col("o_orderkey")])
+    )
