@@ -43,11 +43,14 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: oracle-backed r5b analytics (ewma_daily_value,
 #: event_rate_autocorrelation, peak_concurrency_sweep,
 #: stl_weekly_decompose, stl_residual_anomalies, regression_slope_daily,
-#: event_path_topk, benford_price_audit, deterministic_shuffle_order) +
-#: the 4 rows-only kernel RNG runs.  Everything rotated OUT was
-#: driver-green in a prior round (CORRECTNESS_r01..r05) and stays
-#: registered + locally gated.  Cumulative if this window grades green:
-#: 238/251.
+#: event_path_topk, benford_price_audit, deterministic_shuffle_order),
+#: the 4 rows-only kernel RNG runs, and the 5 round-6 additions
+#: (scd2_dimension_build, gdpr_delete_propagation,
+#: zorder_layout_manifest, stratified_split_assign,
+#: data_quality_expectations).  Everything rotated OUT was driver-green
+#: in a prior round (CORRECTNESS_r01..r05) and stays registered +
+#: locally gated (COVERAGE_LEDGER.md is the committed snapshot).
+#: Cumulative if this window grades green: 238/256.
 DRIVER_WINDOW = [
     # --- continuity anchors (green in r01..r05) ---
     "ingest_requests",

@@ -254,3 +254,21 @@ def test_stratified_split_fractions(spark, sf_dir):
         # hash-uniform 80/10/10 with a wide band for the 50-doc fixture
         if total >= 30 and "train" in splits:
             assert 0.5 <= splits["train"]["frac_of_source"] <= 0.95
+
+
+def test_data_quality_suite_shape_and_pass(spark, sf_dir):
+    from queue_system_simulator_spark.plans.relational_queries import (
+        q_data_quality_expectations,
+    )
+
+    rows = {(r["check_name"], r["table_name"]): r
+            for r in q_data_quality_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 9
+    for (check, table), r in rows.items():
+        assert r["n_checked"] >= 0 and r["n_violations"] >= 0
+        assert r["n_violations"] <= max(r["n_checked"], 1)
+    # the synthetic tables satisfy the core contracts
+    assert rows[("unique_key", "orders")]["n_violations"] == 0
+    assert rows[("unique_key", "events")]["n_violations"] == 0
+    assert rows[("referential_orderkey", "lineitem")]["n_violations"] == 0
+    assert rows[("accepted_values_event_type", "events")]["n_violations"] == 0
