@@ -1454,3 +1454,66 @@ def q_data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance (delta-merge algebra)
+# --------------------------------------------------------------------------
+IVM_REFRESH_CUT = "1997-01-01 00:00:00"
+
+
+@register(
+    "ivm_delta_agg_maintenance",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY o_orderpriority
+""",
+    description="Incremental view maintenance — the materialized-view "
+    "delta algebra every lakehouse refresh runs: the Spark side computes "
+    "the per-priority revenue view as BASE (orders before the last "
+    f"refresh watermark {IVM_REFRESH_CUT}) merged with DELTA (orders "
+    "since) through a full-outer coalesce-sum — touching the base "
+    "partition once and the delta once, never rescanning history in the "
+    "steady state — while the ORACLE aggregates the full table directly. "
+    "Hash equality between the two IS the proof the maintenance algebra "
+    "is lossless (counts and integer-cents sums are the distributive "
+    "aggregates IVM composes). The merge joins two GROUP-cardinality "
+    "frames, so at 100 TB the refresh cost is O(delta) + O(groups).",
+)
+def q_ivm_delta_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cut = F.lit(IVM_REFRESH_CUT).cast("timestamp")
+
+    def view(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+
+    base = view(orders.filter(F.col("o_orderdate") < cut))
+    delta = view(orders.filter(F.col("o_orderdate") >= cut))
+    b = base.select(
+        F.col("o_orderpriority").alias("k"),
+        F.col("n").alias("bn"),
+        F.col("c").alias("bc"),
+    )
+    d = delta.select(
+        F.col("o_orderpriority").alias("k"),
+        F.col("n").alias("dn"),
+        F.col("c").alias("dc"),
+    )
+    return b.join(d, "k", "full_outer").select(
+        F.col("k").alias("o_orderpriority"),
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
+            "total_cents"
+        ),
+    )
