@@ -610,3 +610,58 @@ def q_streaming_compacted_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_centi").alias("last_value_centi"),
         )
     )
+
+
+@register(
+    "streaming_foreachbatch_merge",
+    oracle="""
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_centi,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, tus AS last_tus, event_id AS last_event_id,
+       event_type AS last_event_type, value_centi AS last_value_centi
+FROM r WHERE rn = 1
+""",
+    description="foreachBatch MERGE into a versioned lake table — the "
+    "canonical streaming-upsert-to-lakehouse sink (Delta/Iceberg MERGE "
+    "inside foreachBatch), against plain parquet here: the events stream "
+    "drains in FOUR real microbatches (multi-file source, "
+    "maxFilesPerTrigger=1), each batch copy-on-write-merges its per-user "
+    "latest into a new table version, and the final snapshot must equal "
+    "the batch latest-per-user oracle — provable because the merge is an "
+    "argmax fold over a total order (associative + commutative), so batch "
+    "boundaries cannot change the result. Complements "
+    "streaming_compacted_latest: same semantics, the SINK-side mechanism "
+    "(driver-coordinated versioned commits + distributed per-batch merge) "
+    "instead of operator state.",
+)
+def q_streaming_foreachbatch_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.streaming.stream import (
+        run_foreachbatch_merge,
+        stream_events_multibatch,
+    )
+
+    stream = stream_events_multibatch(spark, sf_dir, n_files=4)
+    keyed = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    snap = run_foreachbatch_merge(keyed)
+    return snap.select(
+        "user_id",
+        F.col("tus").alias("last_tus"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value_centi").alias("last_value_centi"),
+    )

@@ -544,3 +544,104 @@ def streaming_latest_upsert(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_events_multibatch(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """File-source stream over the events table split into ``n_files``
+    parquet files with ``maxFilesPerTrigger=1``, so an AvailableNow drain
+    processes ``n_files`` REAL microbatches instead of one.
+
+    The single-file ``stream_events`` source drains in one batch, which
+    exercises stateful operators but not cross-batch folds; this variant
+    exists for queries whose correctness claim is batching-independence of
+    a per-batch merge (foreachBatch MERGE, incremental compaction).  The
+    split is round-robin — the merge under test must be indifferent to
+    which rows land in which batch, which is exactly the property the
+    caller's oracle then proves."""
+    from queue_system_simulator_spark.schema import tune_foreign_session
+    from queue_system_simulator_spark.shipping import ensure_shipped
+
+    tune_foreign_session(spark)
+    ensure_shipped(spark)
+    src = (
+        Path(tempfile.gettempdir())
+        / "qss_spark_stream_multi"
+        / sf_dir.strip("/").replace("/", "_")
+        / f"n{n_files}"
+    )
+    if not (src / "_SUCCESS").exists():
+        load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def run_foreachbatch_merge(keyed: DataFrame) -> DataFrame:
+    """Drain a stream through ``writeStream.foreachBatch``, folding every
+    microbatch into a parquet "lake table" with MERGE semantics (upsert the
+    per-user latest on the (tus, event_id) total order) — the canonical
+    streaming-upsert-into-lakehouse pattern (Delta/Iceberg MERGE inside
+    foreachBatch), expressed against plain parquet.
+
+    Each batch writes a NEW table version v{k} (read v{k-1} → union the
+    batch's per-user latest → re-take latest → write v{k}): copy-on-write
+    versioning, so a crashed batch never corrupts the readable version —
+    the same atomicity contract a table format's commit protocol gives.
+    The fold is associative and commutative (argmax over a total order),
+    so the final snapshot is independent of batch boundaries; callers
+    grade it against the batch latest-per-user oracle.  ``foreachBatch``
+    runs on the driver; the per-batch work it launches (window + write) is
+    fully distributed, and table-format MERGE would replace the
+    read-union-rewrite with a keyed merge at scale.
+
+    Expects columns ``user_id, tus, event_id, ...`` and returns the final
+    snapshot DataFrame (lazy, reading the last version)."""
+    from pyspark.sql import Window
+
+    spark = keyed.sparkSession
+    base = (
+        Path(tempfile.gettempdir())
+        / "qss_spark_fb_merge"
+        / f"m_{uuid.uuid4().hex[:12]}"
+    )
+    base.mkdir(parents=True, exist_ok=True)
+    state = {"v": 0}
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur = latest(batch_df)
+        if state["v"] > 0:
+            prev = s.read.schema(batch_df.schema).parquet(
+                str(base / f"v{state['v']}")
+            )
+            cur = latest(prev.unionByName(cur))
+        state["v"] += 1
+        cur.write.mode("overwrite").parquet(str(base / f"v{state['v']}"))
+
+    q = (
+        keyed.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["v"] == 0:  # empty source: no batch ever fired
+        return spark.createDataFrame([], keyed.schema)
+    return spark.read.schema(keyed.schema).parquet(str(base / f"v{state['v']}"))

@@ -476,3 +476,52 @@ def test_streaming_compaction_matches_batch_latest(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_merge_is_batching_independent(spark, sf_dir):
+    """The foreachBatch MERGE fold must equal the batch latest-per-user
+    result, and the multi-file source must actually produce multiple
+    microbatches (otherwise the fold is never exercised)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+    from queue_system_simulator_spark.streaming.stream import (
+        run_foreachbatch_merge,
+        stream_events_multibatch,
+    )
+
+    stream = stream_events_multibatch(spark, sf_dir, n_files=4)
+    batches = []
+    stream.writeStream.foreachBatch(
+        lambda df, bid: batches.append(df.count())
+    ).trigger(availableNow=True).start().awaitTermination()
+    assert len(batches) == 4 and all(n > 0 for n in batches)
+
+    keyed = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    snap = {
+        r["user_id"]: (r["tus"], r["event_id"])
+        for r in run_foreachbatch_merge(keyed).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+    expect = {
+        r["user_id"]: (r["tus"], r["event_id"])
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tus"),
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert snap == expect
