@@ -47,7 +47,7 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: the 4 rows-only kernel RNG runs, and the 7 round-6 additions
 #: (scd2_dimension_build, gdpr_delete_propagation,
 #: ivm_delta_agg_maintenance, doc_chunk_overlap, zorder_layout_manifest,
-#: stratified_split_assign, data_quality_expectations).  Everything
+#: split_strategy_eval, data_quality_expectations).  Everything
 #: rotated OUT was driver-green in a prior round (CORRECTNESS_r01..r05)
 #: and stays registered + locally gated (COVERAGE_LEDGER.md is the
 #: committed snapshot).  Cumulative if this window grades green: 238/258.

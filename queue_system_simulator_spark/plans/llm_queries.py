@@ -6740,68 +6740,138 @@ def q_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Deterministic stratified train/val/test split
+# Split-strategy evaluation: hash split vs exact-allocation split
 # --------------------------------------------------------------------------
-# hex thresholds over the first two md5 nibbles: buckets 0..255, train
-# < 0xcc (204/256 ≈ 79.7%), val < 0xe6 (26/256 ≈ 10.2%), test the rest.
-# Lowercase-hex string comparison IS numeric comparison at fixed width,
-# and both engines emit lowercase hex — no hex→int conversion needed.
+# hash thresholds over the first two md5 nibbles: buckets 0..255, train
+# < 0xcc (204/256 ≈ 79.7%), val < 0xe6 (26/256 ≈ 10.2%), test the rest —
+# the same ≈80/10/10 target the exact-allocation split guarantees.
+# Lowercase-hex string comparison IS numeric comparison at fixed width.
 SPLIT_TRAIN_HEX = "cc"
 SPLIT_VAL_HEX = "e6"
 
 
 @register(
-    "stratified_split_assign",
+    "split_strategy_eval",
     oracle=f"""
-WITH assign AS (
+WITH h AS (
   SELECT source,
          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                    < '{SPLIT_TRAIN_HEX}' THEN 'train'
               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                    < '{SPLIT_VAL_HEX}' THEN 'val'
-              ELSE 'test' END AS split
+              ELSE 'test' END AS split,
+         count(*) AS n_hash
+  FROM documents GROUP BY 1, 2
+),
+r AS (
+  SELECT source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('xsplit|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
   FROM documents
 ),
-tot AS (SELECT source, count(*) AS n_source FROM assign GROUP BY source)
-SELECT a.source, a.split, count(*) AS n_docs,
-       round(CAST(count(*) AS DOUBLE) / any_value(t.n_source), 6)
-         AS frac_of_source
-FROM assign a JOIN tot t USING (source)
-GROUP BY a.source, a.split
-""",
-    description="Deterministic train/val/test split assignment — the "
-    "leakage-safe split every training pipeline needs: each document's "
-    "split is a pure function of md5(doc_id) (first two hex chars against "
-    "fixed thresholds — lowercase-hex string order IS numeric order, so "
-    "one comparison works on both engines), giving ≈80/10/10 within every "
-    "source stratum by hash uniformity. Entirely map-side — no per-source "
-    "rank, no shuffle until the audit aggregation — because a per-stratum "
-    "quota rank would funnel each source through one task at 100 TB; "
-    "hash-proportional assignment is the production pattern (stable under "
-    "re-runs, incremental ingest, and backfills: a doc never changes "
-    "split). The audit emits per-(source, split) counts and fractions.",
+e AS (
+  SELECT source,
+         CASE WHEN rn * 100 <= n * 80 THEN 'train'
+              WHEN rn * 100 <= n * 90 THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) AS n_exact
+  FROM r GROUP BY 1, 2
+),
+tot AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+cells AS (
+  SELECT source, split FROM h
+  UNION
+  SELECT source, split FROM e
 )
-def q_stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT c.source, c.split,
+       coalesce(h.n_hash, 0) AS n_hash,
+       coalesce(e.n_exact, 0) AS n_exact,
+       round(CAST(coalesce(h.n_hash, 0) AS DOUBLE) / t.n_source, 6)
+         AS frac_hash,
+       round(CAST(coalesce(e.n_exact, 0) AS DOUBLE) / t.n_source, 6)
+         AS frac_exact,
+       round(abs(CAST(coalesce(h.n_hash, 0) AS DOUBLE) / t.n_source
+                 - CAST(coalesce(e.n_exact, 0) AS DOUBLE) / t.n_source), 6)
+         AS abs_dev
+FROM cells c
+LEFT JOIN h USING (source, split)
+LEFT JOIN e USING (source, split)
+JOIN tot t USING (source)
+""",
+    description="Split-strategy evaluation — grades the two ways every "
+    "training pipeline assigns train/val/test: the per-row md5-hash split "
+    "(dataset_split's mechanism: pure map-side, stable under incremental "
+    "ingest, but only hash-uniformly ≈80/10/10 per stratum) against the "
+    "exact-allocation split (stratified_exact_split's mechanism: "
+    "guaranteed per-source quotas at the cost of a per-source rank). "
+    "Output is one row per (source, split) cell with both counts, both "
+    "realized fractions, and |deviation| — the calibration table that "
+    "tells an operator how small a stratum can get before hash luck "
+    "starves val/test and the exact split becomes worth its rank "
+    "(same eval shape as blocking_strategy_eval / lsh_threshold_sweep). "
+    "The hash side never shuffles before its audit agg; the exact side "
+    "shares stratified_exact_split's documented per-source-window "
+    "caveat — an eval runs once, and giant strata swap in the "
+    "distributed rank machinery.",
+)
+def q_split_strategy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    assign = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.when(hx < SPLIT_TRAIN_HEX, "train")
-        .when(hx < SPLIT_VAL_HEX, "val")
-        .otherwise("test")
-        .alias("split"),
+    h = (
+        docs.select(
+            "source",
+            F.when(hx < SPLIT_TRAIN_HEX, "train")
+            .when(hx < SPLIT_VAL_HEX, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_hash"))
     )
-    tot = assign.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("xsplit|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    e = (
+        r.select(
+            "source",
+            F.when(F.col("rn") * 100 <= F.col("n") * 80, "train")
+            .when(F.col("rn") * 100 <= F.col("n") * 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    cells = h.select("source", "split").union(e.select("source", "split")).distinct()
+    nh = F.coalesce(F.col("n_hash"), F.lit(0))
+    ne = F.coalesce(F.col("n_exact"), F.lit(0))
+    fh = nh.cast("double") / F.col("n_source")
+    fe = ne.cast("double") / F.col("n_source")
     return (
-        assign.groupBy("source", "split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        cells.join(h, ["source", "split"], "left")
+        .join(e, ["source", "split"], "left")
         .join(F.broadcast(tot), "source")
         .select(
             "source",
             "split",
-            "n_docs",
-            F.round(
-                F.col("n_docs").cast("double") / F.col("n_source"), 6
-            ).alias("frac_of_source"),
+            nh.alias("n_hash"),
+            ne.alias("n_exact"),
+            F.round(fh, 6).alias("frac_hash"),
+            F.round(fe, 6).alias("frac_exact"),
+            F.round(F.abs(fh - fe), 6).alias("abs_dev"),
         )
     )
 

@@ -237,24 +237,30 @@ def test_gdpr_cascade_audit_consistent(spark, sf_dir):
     assert 0 < c["n_deleted"] < c["n_before"] * 0.25
 
 
-def test_stratified_split_fractions(spark, sf_dir):
+def test_split_strategy_eval_consistent(spark, sf_dir):
     from queue_system_simulator_spark.plans.llm_queries import (
-        q_stratified_split_assign,
+        q_split_strategy_eval,
     )
 
-    rows = q_stratified_split_assign(spark, sf_dir).collect()
+    rows = q_split_strategy_eval(spark, sf_dir).collect()
     assert rows
     by_source = {}
     for r in rows:
-        by_source.setdefault(r["source"], {})[r["split"]] = r
-    for source, splits in by_source.items():
-        assert set(splits) <= {"train", "val", "test"}
-        total = sum(r["n_docs"] for r in splits.values())
-        assert abs(sum(r["frac_of_source"] for r in splits.values()) - 1.0) < 1e-4
-        # hash-uniform 80/10/10 with a wide band for the 50-doc fixture
-        if total >= 30 and "train" in splits:
-            assert 0.5 <= splits["train"]["frac_of_source"] <= 0.95
-
+        by_source.setdefault(r["source"], []).append(r)
+    for source, cells in by_source.items():
+        n = sum(r["n_hash"] for r in cells)
+        # both strategies partition the stratum completely
+        assert sum(r["n_exact"] for r in cells) == n
+        assert abs(sum(r["frac_hash"] for r in cells) - 1.0) < 1e-4
+        assert abs(sum(r["frac_exact"] for r in cells) - 1.0) < 1e-4
+        for r in cells:
+            assert abs(
+                r["abs_dev"] - abs(r["frac_hash"] - r["frac_exact"])
+            ) < 2e-6
+        # the exact split's guarantee: train allocation within one doc of 80%
+        tr = [r for r in cells if r["split"] == "train"]
+        if tr and n >= 10:
+            assert abs(tr[0]["n_exact"] - 0.8 * n) <= 1
 
 def test_data_quality_suite_shape_and_pass(spark, sf_dir):
     from queue_system_simulator_spark.plans.relational_queries import (
