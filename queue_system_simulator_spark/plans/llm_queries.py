@@ -6874,87 +6874,3 @@ def q_split_strategy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(fh - fe), 6).alias("abs_dev"),
         )
     )
-
-
-# --------------------------------------------------------------------------
-# Overlapping document chunking (the RAG / context-window chunker)
-# --------------------------------------------------------------------------
-CHUNK_TOKENS = 64
-CHUNK_STRIDE = 48  # 16-token overlap
-
-
-@register(
-    "doc_chunk_overlap",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' '))
-           AS n
-  FROM documents
-),
-starts AS (
-  SELECT doc_id, toks, n, unnest(generate_series(1, n, {CHUNK_STRIDE}))
-           AS start
-  FROM t
-)
-SELECT doc_id,
-       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
-       CAST(start AS BIGINT) AS first_token,
-       CAST(least(start + {CHUNK_TOKENS} - 1, n) AS BIGINT) AS last_token,
-       CAST(least({CHUNK_TOKENS}, n - start + 1) AS BIGINT) AS n_tokens,
-       md5(array_to_string(
-             list_slice(toks, start,
-                        least(start + {CHUNK_TOKENS} - 1, n)), ' '))
-         AS chunk_md5
-FROM starts
-""",
-    description="Overlapping document chunking — the RAG/context-window "
-    f"splitter every retrieval pipeline runs: {CHUNK_TOKENS}-token chunks "
-    f"at stride {CHUNK_STRIDE} ({CHUNK_TOKENS - CHUNK_STRIDE}-token "
-    "overlap so no answer span is cut at a boundary), emitted as "
-    "(doc, chunk_id, token span, md5 of the chunk text). Entirely "
-    "map-side: one tokenize + a 3-arg sequence explode per doc — no "
-    "shuffle at all until a downstream index groups the chunks; at "
-    "100 TB this is a pure scan-transform whose output feeds the "
-    "embedding and ANN stages directly (chunk_md5 doubles as the "
-    "idempotent chunk key for incremental re-chunking). Spark "
-    "slice(start, len) ≡ DuckDB list_slice(start, end) — both clamp at "
-    "the doc tail, so the final short chunk agrees.",
-)
-def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-        F.size(F.split("text", " ")).alias("n"),
-    )
-    starts = t.select(
-        "doc_id",
-        "toks",
-        "n",
-        F.explode(
-            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
-        ).alias("start"),
-    )
-    last = F.least(
-        F.col("start") + F.lit(CHUNK_TOKENS - 1), F.col("n")
-    )
-    return starts.select(
-        "doc_id",
-        F.expr(f"(start - 1) div {CHUNK_STRIDE}").cast("long").alias(
-            "chunk_id"
-        ),
-        F.col("start").cast("long").alias("first_token"),
-        last.cast("long").alias("last_token"),
-        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1)
-        .cast("long")
-        .alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.slice(
-                    F.col("toks"),
-                    F.col("start"),
-                    F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1),
-                ),
-                " ",
-            )
-        ).alias("chunk_md5"),
-    )

@@ -1203,7 +1203,7 @@ FROM v
     "of a per-user tier attribute (value-bucket projection), consecutive "
     "equal-tier runs collapse into one versioned row with "
     "[valid_from, valid_to) microsecond validity and an is_current flag — "
-    "exactly the dimension shape a warehouse MERGE maintains. All three "
+    "exactly the dimension shape a warehouse MERGE maintains (complements scd2_user_history, which intervalizes every event without change detection: here consecutive equal-tier runs COLLAPSE and versions count real transitions). All three "
     "windows (change flag, running version, next-version lead) are "
     "user-partitioned — keyed shuffles that shard by user at any scale; "
     "no global order anywhere. Versions are integer run counters, bounds "

@@ -570,7 +570,7 @@ FROM sharded GROUP BY layout, shard
     "for BOTH the z-order layout and the naive time-sorted layout, so the "
     "output itself measures the trade: time-sorted shards span the full "
     "custkey domain (no pruning on customer predicates), z-order shards "
-    "bound both dimensions at ~1/√shards of their domains.",
+    "bound both dimensions at ~1/√shards of their domains. Complements zorder_file_layout (events): that query derives files from the z-value's TOP BITS — map-side, no sort, but cell row-counts follow data skew; this one pays the two-phase range shard for exactly equal file sizes and adds the naive-layout comparison.",
 )
 def q_zorder_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from queue_system_simulator_spark.operators.statistics import exact_ntile

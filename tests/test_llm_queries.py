@@ -918,31 +918,6 @@ def test_zipf_slope_negative_and_decomposes(spark, sf_dir):
     assert abs(r["zipf_slope"] - round(num / den, 6)) < 1e-9
 
 
-def test_doc_chunks_cover_and_overlap(spark, sf_dir):
-    from queue_system_simulator_spark.plans.llm_queries import (
-        CHUNK_STRIDE,
-        CHUNK_TOKENS,
-        q_doc_chunk_overlap,
-    )
-
-    rows = q_doc_chunk_overlap(spark, sf_dir).collect()
-    assert rows
-    by_doc = {}
-    for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    for doc, cs in by_doc.items():
-        cs.sort(key=lambda r: r["chunk_id"])
-        assert [c["chunk_id"] for c in cs] == list(range(len(cs)))
-        assert cs[0]["first_token"] == 1
-        for a, b in zip(cs, cs[1:]):
-            assert b["first_token"] - a["first_token"] == CHUNK_STRIDE
-            # consecutive full chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE
-            assert b["first_token"] <= a["last_token"] + 1
-        for c in cs:
-            assert c["n_tokens"] == c["last_token"] - c["first_token"] + 1
-            assert 1 <= c["n_tokens"] <= CHUNK_TOKENS
-
-
 def test_ivm_merge_equals_direct_aggregate(spark, sf_dir):
     from pyspark.sql import functions as F
 
