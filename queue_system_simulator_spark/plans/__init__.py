@@ -44,13 +44,12 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: event_rate_autocorrelation, peak_concurrency_sweep,
 #: stl_weekly_decompose, stl_residual_anomalies, regression_slope_daily,
 #: event_path_topk, benford_price_audit, deterministic_shuffle_order),
-#: the 4 rows-only kernel RNG runs, and the 6 round-6 additions
+#: the 4 rows-only kernel RNG runs, and the 4 round-6 additions
 #: (scd2_dimension_build, gdpr_delete_propagation,
-#: ivm_delta_agg_maintenance, zorder_layout_manifest,
-#: split_strategy_eval, data_quality_expectations).  Everything
+#: zorder_layout_manifest, split_strategy_eval).  Everything
 #: rotated OUT was driver-green in a prior round (CORRECTNESS_r01..r05)
 #: and stays registered + locally gated (COVERAGE_LEDGER.md is the
-#: committed snapshot).  Cumulative if this window grades green: 238/258.
+#: committed snapshot).  Cumulative if this window grades green: 238/256.
 DRIVER_WINDOW = [
     # --- continuity anchors (green in r01..r05) ---
     "ingest_requests",

@@ -1322,198 +1322,3 @@ def q_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit("orders", orders, del_orders))
         .unionAll(audit("lineitem", line, del_line))
     )
-
-
-# --------------------------------------------------------------------------
-# Data-quality expectation suite (dbt-test / Great-Expectations shape)
-# --------------------------------------------------------------------------
-@register(
-    "data_quality_expectations",
-    oracle="""
-SELECT 'row_count_positive' AS check_name, 'orders' AS table_name,
-       (SELECT count(*) FROM orders) AS n_checked,
-       CASE WHEN (SELECT count(*) FROM orders) > 0 THEN 0 ELSE 1 END
-         AS n_violations
-UNION ALL
-SELECT 'unique_key', 'orders',
-       (SELECT count(*) FROM orders),
-       (SELECT count(*) FROM orders)
-         - (SELECT count(DISTINCT o_orderkey) FROM orders)
-UNION ALL
-SELECT 'not_null', 'orders',
-       (SELECT count(*) FROM orders),
-       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
-UNION ALL
-SELECT 'accepted_range_totalprice', 'orders',
-       (SELECT count(*) FROM orders),
-       (SELECT count(*) FROM orders
-        WHERE o_totalprice IS NULL OR o_totalprice <= 0
-           OR o_totalprice > 1000000)
-UNION ALL
-SELECT 'accepted_range_orderdate', 'orders',
-       (SELECT count(*) FROM orders),
-       (SELECT count(*) FROM orders
-        WHERE o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
-           OR o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-UNION ALL
-SELECT 'referential_orderkey', 'lineitem',
-       (SELECT count(*) FROM lineitem),
-       (SELECT count(*) FROM lineitem l
-        WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_orderkey = l.l_orderkey))
-UNION ALL
-SELECT 'unique_key', 'events',
-       (SELECT count(*) FROM events),
-       (SELECT count(*) FROM events)
-         - (SELECT count(DISTINCT event_id) FROM events)
-UNION ALL
-SELECT 'null_fraction_value_le_50pct', 'events',
-       (SELECT count(*) FROM events),
-       CASE WHEN (SELECT count(*) FROM events WHERE value IS NULL) * 2
-                 <= (SELECT count(*) FROM events)
-            THEN 0
-            ELSE (SELECT count(*) FROM events WHERE value IS NULL) END
-UNION ALL
-SELECT 'accepted_values_event_type', 'events',
-       (SELECT count(*) FROM events),
-       (SELECT count(*) FROM events
-        WHERE event_type NOT IN ('view', 'click', 'purchase', 'signup',
-                                 'error'))
-""",
-    description="Data-quality expectation suite — the dbt-test / "
-    "Great-Expectations contract shape: nine declarative checks "
-    "(row-count, key uniqueness, not-null, accepted ranges, accepted "
-    "values, referential integrity, null-fraction threshold) each emit "
-    "one (check, table, n_checked, n_violations) row; a CI gate fails the "
-    "pipeline on any n_violations > 0. Every check is a map-side partial "
-    "aggregate except the FK probe, which is one keyed LEFT ANTI join — "
-    "the whole suite reads each table once per check family and never "
-    "materializes violating rows (the audit variant selecting them is "
-    "the same plan with the filter un-negated). Thresholded checks "
-    "(null fraction) compare in integers (2·nulls ≤ n) to stay "
-    "engine-exact.",
-)
-def q_data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    events = load_table(spark, sf_dir, "events")
-    line = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    cnt = F.count(F.lit(1))
-
-    def row(df: DataFrame, check: str, table: str, viol) -> DataFrame:
-        return df.agg(
-            cnt.alias("n_checked"), viol.cast("long").alias("n_violations")
-        ).select(
-            F.lit(check).alias("check_name"),
-            F.lit(table).alias("table_name"),
-            "n_checked",
-            "n_violations",
-        )
-
-    date_lo = F.lit("1992-01-01 00:00:00").cast("timestamp")
-    date_hi = F.lit("2000-01-01 00:00:00").cast("timestamp")
-    nulls = F.sum(F.col("value").isNull().cast("long"))
-    orphans = line.join(
-        orders.select("o_orderkey"),
-        line.l_orderkey == F.col("o_orderkey"),
-        "left_anti",
-    )
-    checks = [
-        row(orders, "row_count_positive", "orders",
-            F.when(cnt > 0, 0).otherwise(1)),
-        row(orders, "unique_key", "orders",
-            cnt - F.countDistinct("o_orderkey")),
-        row(orders, "not_null", "orders",
-            F.sum(F.col("o_custkey").isNull().cast("long"))),
-        row(orders, "accepted_range_totalprice", "orders",
-            F.sum((F.col("o_totalprice").isNull()
-                   | (F.col("o_totalprice") <= 0)
-                   | (F.col("o_totalprice") > 1_000_000)).cast("long"))),
-        row(orders, "accepted_range_orderdate", "orders",
-            F.sum(((F.col("o_orderdate") < date_lo)
-                   | (F.col("o_orderdate") >= date_hi)).cast("long"))),
-        # n_checked must be the full lineitem count while violations come
-        # from the anti-join — cross the two one-row aggregates
-        line.agg(cnt.alias("n_checked"))
-        .crossJoin(orphans.agg(cnt.cast("long").alias("n_violations")))
-        .select(
-            F.lit("referential_orderkey").alias("check_name"),
-            F.lit("lineitem").alias("table_name"),
-            "n_checked",
-            "n_violations",
-        ),
-        row(events, "unique_key", "events",
-            cnt - F.countDistinct("event_id")),
-        row(events, "null_fraction_value_le_50pct", "events",
-            F.when(nulls * 2 <= cnt, 0).otherwise(nulls)),
-        row(events, "accepted_values_event_type", "events",
-            F.sum((~F.col("event_type").isin(
-                "view", "click", "purchase", "signup", "error"
-            )).cast("long"))),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
-
-
-# --------------------------------------------------------------------------
-# Incremental view maintenance (delta-merge algebra)
-# --------------------------------------------------------------------------
-IVM_REFRESH_CUT = "1997-01-01 00:00:00"
-
-
-@register(
-    "ivm_delta_agg_maintenance",
-    oracle="""
-SELECT o_orderpriority,
-       count(*) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS total_cents
-FROM orders GROUP BY o_orderpriority
-""",
-    description="Incremental view maintenance — the materialized-view "
-    "delta algebra every lakehouse refresh runs: the Spark side computes "
-    "the per-priority revenue view as BASE (orders before the last "
-    f"refresh watermark {IVM_REFRESH_CUT}) merged with DELTA (orders "
-    "since) through a full-outer coalesce-sum — touching the base "
-    "partition once and the delta once, never rescanning history in the "
-    "steady state — while the ORACLE aggregates the full table directly. "
-    "Hash equality between the two IS the proof the maintenance algebra "
-    "is lossless (counts and integer-cents sums are the distributive "
-    "aggregates IVM composes). The merge joins two GROUP-cardinality "
-    "frames, so at 100 TB the refresh cost is O(delta) + O(groups).",
-)
-def q_ivm_delta_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        "o_orderdate",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    cut = F.lit(IVM_REFRESH_CUT).cast("timestamp")
-
-    def view(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
-        )
-
-    base = view(orders.filter(F.col("o_orderdate") < cut))
-    delta = view(orders.filter(F.col("o_orderdate") >= cut))
-    b = base.select(
-        F.col("o_orderpriority").alias("k"),
-        F.col("n").alias("bn"),
-        F.col("c").alias("bc"),
-    )
-    d = delta.select(
-        F.col("o_orderpriority").alias("k"),
-        F.col("n").alias("dn"),
-        F.col("c").alias("dc"),
-    )
-    return b.join(d, "k", "full_outer").select(
-        F.col("k").alias("o_orderpriority"),
-        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
-            "n_orders"
-        ),
-        (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
-            "total_cents"
-        ),
-    )

@@ -916,26 +916,3 @@ def test_zipf_slope_negative_and_decomposes(spark, sf_dir):
     num, den = int(r["slope_num"]), int(r["slope_den"])
     assert den > 0
     assert abs(r["zipf_slope"] - round(num / den, 6)) < 1e-9
-
-
-def test_ivm_merge_equals_direct_aggregate(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from queue_system_simulator_spark.plans.relational_queries import (
-        q_ivm_delta_agg_maintenance,
-    )
-    from queue_system_simulator_spark.schema import load_table
-
-    got = {r["o_orderpriority"]: (r["n_orders"], r["total_cents"])
-           for r in q_ivm_delta_agg_maintenance(spark, sf_dir).collect()}
-    direct = {
-        r["o_orderpriority"]: (r["n"], r["c"])
-        for r in load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
-        )
-        .collect()
-    }
-    assert got == direct

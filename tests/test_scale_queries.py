@@ -262,19 +262,3 @@ def test_split_strategy_eval_consistent(spark, sf_dir):
         if tr and n >= 10:
             assert abs(tr[0]["n_exact"] - 0.8 * n) <= 1
 
-def test_data_quality_suite_shape_and_pass(spark, sf_dir):
-    from queue_system_simulator_spark.plans.relational_queries import (
-        q_data_quality_expectations,
-    )
-
-    rows = {(r["check_name"], r["table_name"]): r
-            for r in q_data_quality_expectations(spark, sf_dir).collect()}
-    assert len(rows) == 9
-    for (check, table), r in rows.items():
-        assert r["n_checked"] >= 0 and r["n_violations"] >= 0
-        assert r["n_violations"] <= max(r["n_checked"], 1)
-    # the synthetic tables satisfy the core contracts
-    assert rows[("unique_key", "orders")]["n_violations"] == 0
-    assert rows[("unique_key", "events")]["n_violations"] == 0
-    assert rows[("referential_orderkey", "lineitem")]["n_violations"] == 0
-    assert rows[("accepted_values_event_type", "events")]["n_violations"] == 0
