@@ -625,6 +625,8 @@ def run_foreachbatch_merge(keyed: DataFrame) -> DataFrame:
         )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         s = batch_df.sparkSession
         cur = latest(batch_df)
         if state["v"] > 0:
@@ -634,6 +636,11 @@ def run_foreachbatch_merge(keyed: DataFrame) -> DataFrame:
             cur = latest(prev.unionByName(cur))
         state["v"] += 1
         cur.write.mode("overwrite").parquet(str(base / f"v{state['v']}"))
+        # GC the superseded version only AFTER the new one is fully
+        # written — the commit-then-expire order a table format's vacuum
+        # follows, so a crash mid-batch always leaves a readable version
+        if state["v"] > 1:
+            shutil.rmtree(base / f"v{state['v'] - 1}", ignore_errors=True)
 
     q = (
         keyed.writeStream.foreachBatch(merge)
