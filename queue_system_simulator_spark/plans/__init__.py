@@ -46,10 +46,10 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: event_path_topk, benford_price_audit, deterministic_shuffle_order),
 #: the 4 rows-only kernel RNG runs, and the 4 round-6 additions
 #: (scd2_dimension_build, gdpr_delete_propagation,
-#: zorder_layout_manifest, split_strategy_eval).  Everything
+#: zorder_layout_manifest, split_strategy_eval, xml_roundtrip).  Everything
 #: rotated OUT was driver-green in a prior round (CORRECTNESS_r01..r05)
 #: and stays registered + locally gated (COVERAGE_LEDGER.md is the
-#: committed snapshot).  Cumulative if this window grades green: 238/256.
+#: committed snapshot).  Cumulative if this window grades green: 238/257.
 DRIVER_WINDOW = [
     # --- continuity anchors (green in r01..r05) ---
     "ingest_requests",

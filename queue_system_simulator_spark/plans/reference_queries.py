@@ -1430,3 +1430,52 @@ def q_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return csv_back.unionAll(pq_back)
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_centi
+FROM orders
+GROUP BY o_orderpriority
+""",
+    description="A5 sink/source surface, XML: orders written as XML "
+    "(Spark 4's built-in XML source — rowTag records, one file per "
+    "partition, fully parallel on both sides), read back with an "
+    "explicit schema, and aggregated; the oracle aggregates the ORIGINAL "
+    "table, so any row lost, duplicated, or value-coerced by the "
+    "markup round-trip breaks the hash. Integer centi-money keeps the "
+    "comparison exact — the same contract as the JSONL/ORC/CSV-codec "
+    "round-trips, extending the interchange-format matrix to the last "
+    "format enterprises actually ship.",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = _scratch_dir("xml_rt", sf_dir)
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    back = (
+        spark.read.schema(orders.schema)
+        .format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_centi"
+        ),
+    )

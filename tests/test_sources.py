@@ -418,3 +418,21 @@ def test_compressed_roundtrip_files_are_actually_compressed(spark, sf_dir):
     assert glob.glob(os.path.join(root, "csv_gz", "*.csv.gz"))
     pq = glob.glob(os.path.join(root, "pq_zstd", "*.parquet"))
     assert pq and all("zstd" in os.path.basename(p) for p in pq)
+
+
+def test_xml_roundtrip_preserves_rows(spark, sf_dir):
+    from queue_system_simulator_spark.plans.reference_queries import (
+        q_xml_roundtrip,
+    )
+    from queue_system_simulator_spark.schema import load_table
+
+    rows = {r["o_orderpriority"]: r for r in q_xml_roundtrip(spark, sf_dir).collect()}
+    direct = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {k: v["n"] for k, v in rows.items()} == direct
