@@ -257,6 +257,11 @@ def main() -> None:
                 # drop them so storage memory can't bleed pressure into later
                 # timings, and nudge the JVM so the context cleaner releases
                 # broadcast/shuffle debt before the next timed run
+                from queue_system_simulator_spark.operators.statistics import (
+                    release_pinned,
+                )
+
+                release_pinned()  # two-phase helper pins (post-materialize)
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
         if samples:

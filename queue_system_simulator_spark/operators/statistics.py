@@ -57,7 +57,7 @@ EXTERNAL_API_RPM_LIMIT = 60
 _PINNED: list[DataFrame] = []
 
 
-def _pin(slot: str, frame: DataFrame) -> None:
+def _pin(frame: DataFrame) -> None:
     _PINNED.append(frame)
 
 
@@ -360,7 +360,7 @@ def global_row_number(
         .withColumn("__gr_pid", F.spark_partition_id())
         .cache()
     )
-    _pin("global_row_number", parts)
+    _pin(parts)
     counts = {
         r["__gr_pid"]: r["c"]
         for r in parts.groupBy("__gr_pid")
@@ -461,7 +461,7 @@ def global_cumsum(
         .withColumn("__cs_pid", F.spark_partition_id())
         .cache()
     )
-    _pin("global_cumsum", parts)
+    _pin(parts)
     partials = (
         parts.groupBy("__cs_pid", *group_by)
         .agg(F.sum("__cs_v").alias("s"))
@@ -532,7 +532,7 @@ def global_cummax(
         .withColumn("__cm_pid", F.spark_partition_id())
         .cache()
     )
-    _pin("global_cummax", parts)
+    _pin(parts)
     partials = (
         parts.groupBy("__cm_pid").agg(F.max("__cm_v").alias("m")).collect()
     )

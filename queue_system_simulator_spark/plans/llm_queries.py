@@ -6138,8 +6138,9 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
     ).limit(MH_EVAL_PAIRS)
-    # exact verify over the BROADCAST ≤1000-pair sample: both tok joins
-    # become broadcast joins, never a corpus-wide pair shuffle
+    # exact verify over the BROADCAST ≤MH_EVAL_PAIRS sample (20k pairs
+    # ≈ 640 kB): both tok joins become broadcast joins, never a
+    # corpus-wide pair shuffle
     inter = (
         F.broadcast(sampled)
         .join(tok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))

@@ -23,6 +23,7 @@ kernel contract it must match).
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 import uuid
 from pathlib import Path
@@ -559,17 +560,33 @@ def stream_events_multibatch(
     a per-batch merge (foreachBatch MERGE, incremental compaction).  The
     split is round-robin — the merge under test must be indifferent to
     which rows land in which batch, which is exactly the property the
-    caller's oracle then proves."""
+    caller's oracle then proves.
+
+    The split is cached under tempdir, keyed by a FINGERPRINT of the
+    source (mtime_ns + size of every data file under events.parquet),
+    not just the sf_dir path: fixture data is regenerated between
+    rounds, and a path-only key would keep streaming a stale copy while
+    the oracle reads the fresh table — a silent divergence."""
     from queue_system_simulator_spark.schema import tune_foreign_session
     from queue_system_simulator_spark.shipping import ensure_shipped
 
     tune_foreign_session(spark)
     ensure_shipped(spark)
+    src_path = Path(sf_dir) / "events.parquet"
+    stats = sorted(
+        (p.name, st.st_mtime_ns, st.st_size)
+        for p in (
+            src_path.rglob("*") if src_path.is_dir() else [src_path]
+        )
+        if p.is_file()
+        for st in [p.stat()]
+    )
+    fingerprint = hashlib.md5(repr(stats).encode()).hexdigest()[:12]
     src = (
         Path(tempfile.gettempdir())
         / "qss_spark_stream_multi"
         / sf_dir.strip("/").replace("/", "_")
-        / f"n{n_files}"
+        / f"n{n_files}_{fingerprint}"
     )
     if not (src / "_SUCCESS").exists():
         load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
@@ -634,13 +651,20 @@ def run_foreachbatch_merge(keyed: DataFrame) -> DataFrame:
                 str(base / f"v{state['v']}")
             )
             cur = latest(prev.unionByName(cur))
-        state["v"] += 1
-        cur.write.mode("overwrite").parquet(str(base / f"v{state['v']}"))
-        # GC the superseded version only AFTER the new one is fully
-        # written — the commit-then-expire order a table format's vacuum
-        # follows, so a crash mid-batch always leaves a readable version
-        if state["v"] > 1:
-            shutil.rmtree(base / f"v{state['v'] - 1}", ignore_errors=True)
+        # Commit-then-advance: write the new version BEFORE bumping
+        # state['v'].  If the write throws and Structured Streaming
+        # retries the batch, state['v'] still names the last fully
+        # written version, so the retry merges from a clean base rather
+        # than a partially-written v{k+1} (partial parquet dirs are
+        # readable without _SUCCESS).  Then GC the superseded version
+        # only AFTER the advance — the commit-then-expire order a table
+        # format's vacuum follows, so a crash mid-batch always leaves a
+        # readable version.
+        nxt = state["v"] + 1
+        cur.write.mode("overwrite").parquet(str(base / f"v{nxt}"))
+        state["v"] = nxt
+        if nxt > 1:
+            shutil.rmtree(base / f"v{nxt - 1}", ignore_errors=True)
 
     q = (
         keyed.writeStream.foreachBatch(merge)

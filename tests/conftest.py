@@ -15,6 +15,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def spark():
     s = get_spark("engine-tests", shuffle_partitions=8)
     yield s
+    # Release frames pinned by the two-phase rank helpers AFTER every
+    # test has materialized its results (the safe point per
+    # operators/statistics.py's AQE-recompute note).
+    from queue_system_simulator_spark.operators.statistics import release_pinned
+
+    release_pinned()
 
 
 @pytest.fixture(scope="session")
