@@ -19,92 +19,88 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 )
 
 #: The driver grades exactly the FIRST 50 entries of ``queries()`` in
-#: registration order, so ordering is part of the contract.  Round-6
-#: rotation: cumulative driver-green coverage after rounds 1-5 is
-#: 190/251 registered queries (CORRECTNESS_r05 was 50/50 green), with 61
-#: never driver-graded (tools/coverage_ledger.py).  That pool EXCEEDS one
-#: 50-slot window, so this window keeps 2 continuity anchors (ingest +
-#: the DES kernel, green in every prior round) and spends 48 slots on
-#: never-graded queries in priority order per VERDICT_r5 item 1:
-#: (a) all 15 oracle-backed pre-round-5 deferrals (showcases, calendar/
-#: moments profiles, corpus mix, context windows, hard negatives,
-#: threshold sweep, cross-source dup matrix, weekly WoW, shuffle-hash
-#: join demo, sampled count, conversion-latency quantiles, variant
-#: props); (b) all 13 round-5a additions (TPC-H q16, bucketed join,
-#: BM25, curation funnel, MAD anomalies, partition pruning, text-log /
-#: binaryFile sources, the LSH/IVF calibration sweeps, tokenizer
-#: fertility, CoGroupedMap); (c) 20 of the 29 round-5b additions,
-#: user-impact first (CDC MERGE, streaming compaction, schema evolution,
-#: column drift, compressed round-trips, the AllPairs prefix filter,
-#: blocking eval, TF-IDF verify scorer, SQ8 rerank, Zipf fit, k-core,
-#: shard layout/packing, privacy noise, entropy quality, sketch-accuracy
-#: eval — minhash_estimate_error newly pair-capped this round).
-#: Deferred to round 7 (all local-green at sf0.01 AND sf0.1): 9
-#: oracle-backed r5b analytics (ewma_daily_value,
-#: event_rate_autocorrelation, peak_concurrency_sweep,
-#: stl_weekly_decompose, stl_residual_anomalies, regression_slope_daily,
-#: event_path_topk, benford_price_audit, deterministic_shuffle_order),
-#: the 4 rows-only kernel RNG runs, and the 4 round-6 additions
-#: (scd2_dimension_build, gdpr_delete_propagation,
-#: zorder_layout_manifest, split_strategy_eval, xml_roundtrip).  Everything
-#: rotated OUT was driver-green in a prior round (CORRECTNESS_r01..r05)
-#: and stays registered + locally gated (COVERAGE_LEDGER.md is the
-#: committed snapshot).  Cumulative if this window grades green: 238/257.
+#: registration order, so ordering is part of the contract.  Round-7
+#: rotation (VERDICT_r6 item 1 — CLOSE the ledger): cumulative
+#: driver-green after rounds 1-6 is 238/257 registered queries
+#: (CORRECTNESS_r06 was 50/50 green), leaving 19 never driver-graded
+#: (15 oracle-backed + 4 rows-only-by-design).  This window grades ALL
+#: of the gradeable ones: 2 continuity anchors (ingest + the DES
+#: kernel, green every round), the 15 never-graded oracle queries (9
+#: round-5b analytics deferrals + the 6 round-6 additions), 3
+#: re-grades whose plans were rewritten in round 6 AFTER their last
+#: green (tpch_q15_top_supplier r03-green but scalar-agg rewrite;
+#: watermark_lateness_audit r05-green but global_cummax rewrite;
+#: minhash_estimate_error r06-green but possibly graded pre-b1732f8
+#: double-sampling), and 30 freshness re-greens — all 31 oldest (r02)
+#: greens except multimodal_frame_sample (its twin
+#: multimodal_features is in-window; it rotates in round 8).  The 4
+#: rows-only queries (fifo_stats_approx + 3 kernel RNG runs) are NOT
+#: exposed to the driver: CORRECTNESS_r01 shows the driver records an
+#: oracle-less queries() entry as ``err: "no_oracle"``
+#: (generate_requests, r01) — there is no weaker rows-only path in
+#: practice, so registering them can only add error rows.  They stay
+#: pytest- and check_oracle-covered (``ok*`` lines).  Everything
+#: rotated OUT was driver-green in a prior round and stays registered
+#: + locally gated (COVERAGE_LEDGER.md is the committed snapshot).
+#: Cumulative if this window grades green: 253/253 oracle-backed
+#: queries driver-graded at least once — coverage closed over the
+#: gradeable registry.
 DRIVER_WINDOW = [
-    # --- continuity anchors (green in r01..r05) ---
+    # --- continuity anchors (green in r01..r06) ---
     "ingest_requests",
     "kernel_fifo_k1",
-    # --- (a) pre-round-5 oracle-backed deferrals ---
-    "conversion_latency_quantiles",
-    "null_semantics_showcase",
-    "events_calendar_profile",
-    "value_moments_by_type",
-    "sampled_count_estimate",
-    "map_functions_showcase",
-    "array_functions_showcase",
-    "variant_props_extract",
-    "corpus_mix_sample",
-    "context_windows",
-    "hard_negative_mining",
-    "filter_threshold_sweep",
-    "cross_source_dup_matrix",
-    "shuffle_hash_join_orders",
-    "weekly_revenue_wow",
-    # --- (b) round-5a additions ---
-    "tpch_q16_part_supplier_counts",
-    "bucketed_join_orders",
-    "bm25_topk",
-    "curation_pipeline_report",
-    "mad_robust_anomalies",
-    "partition_pruned_scan",
-    "textlog_parse",
-    "binaryfile_ingest",
-    "lsh_threshold_sweep",
-    "lsh_bands_sweep",
-    "ivf_nprobe_sweep",
-    "tokenizer_fertility_by_lang",
-    "cogroup_click_context",
-    # --- (c) round-5b additions, user-impact first ---
-    "cdc_merge_orders",
-    "streaming_compacted_latest",
-    "schema_evolution_mergeread",
-    "column_profile_drift",
-    "compressed_roundtrip",
-    "prefix_filter_jaccard_pairs",
-    "blocking_strategy_eval",
-    "tfidf_cosine_pairs",
+    # --- never-graded oracle queries: round-5b analytics deferrals ---
+    "regression_slope_daily",
+    "event_path_topk",
+    "stl_weekly_decompose",
+    "stl_residual_anomalies",
+    "benford_price_audit",
+    "deterministic_shuffle_order",
+    "peak_concurrency_sweep",
+    "ewma_daily_value",
+    "event_rate_autocorrelation",
+    # --- never-graded oracle queries: round-6 additions ---
+    "scd2_dimension_build",
+    "gdpr_delete_propagation",
+    "zorder_layout_manifest",
+    "split_strategy_eval",
+    "streaming_foreachbatch_merge",
+    "xml_roundtrip",
+    # --- re-grades: rewritten in round 6 after last green ---
+    "tpch_q15_top_supplier",
+    "watermark_lateness_audit",
     "minhash_estimate_error",
-    "sq8_rerank_topk",
-    "quantile_normalize_embeddings",
-    "hll_precision_sweep",
-    "dp_noisy_counts",
-    "source_lang_entropy",
-    "char_entropy_quality",
-    "zipf_exponent_fit",
-    "kcore_peel_rounds",
-    "multimodal_shard_packing",
-    "lineitem_range_shard_manifest",
-    "token_shard_assignment",
+    # --- freshness re-greens (last green r02) ---
+    "asof_join_purchase",
+    "bpe_pair_frequencies",
+    "contamination_ngram_overlap",
+    "dataset_split",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_quality_score",
+    "doc_repetition_score",
+    "doc_winnow_fingerprints",
+    "embed_cosine_topk",
+    "fifo_stats_by_user",
+    "embed_ivf_probe_topk",
+    "embed_lsh_bucket_topk",
+    "embed_near_dup_pairs",
+    "json_props_extract",
+    "kmeans_assign",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_verified_pairs",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "pii_redact",
+    "range_join_error_context",
+    "seq_pack_chunks",
+    "simhash_near_dup_pairs",
+    "streaming_fifo_state",
+    "streaming_tumbling_counts",
+    "text_stats",
+    "token_count_regex",
 ]
 
 
