@@ -5981,16 +5981,23 @@ def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic md5-ranked candidate sample size: large enough that the
 # surviving true-pair set stays statistically useful (true pairs are a few
 # ‰ of prefix candidates on natural corpora), small enough to broadcast —
-# 20k (doc_a, doc_b, na, nb) rows is ~640 kB
-MH_EVAL_PAIRS = 20_000
+# 2k (doc_a, doc_b, na, nb) rows is ~64 kB.  2000 (was 20_000, VERDICT_r6
+# #3): a ±1/√k agreement band over a k=16 signature is resolved by ~10³
+# verified pairs; 10× more pairs only inflated the exact-verify join.
+MH_EVAL_PAIRS = 2_000
 # document-level sample applied BEFORE candidate generation: a pair
 # survives iff both endpoints are sampled (probability f² — uniform over
 # pairs, so the truth sample stays unbiased), which bounds the candidate
 # join + distinct themselves, not just the verify stage.  Measured need:
 # at 100× rows on the densified probe the UNsampled candidate distinct
 # spilled past local disk (~10⁹ candidate mentions).  Below the cap the
-# sample keeps every doc, so fixture-scale results are unaffected.
-MH_DOC_SAMPLE = 4000
+# sample keeps every doc, so driver-gate (sf0.01, 500 docs) results are
+# unaffected.  2000 (was 4000, VERDICT_r6 #3): the ±1/√k error band
+# needs ~10³ verified pairs, not a 4000-doc truth join — the shingle
+# pass over the sample dominated the query's wall time, and halving the
+# sample quarters nothing the statistic needs (pair survival is f²,
+# still uniform/unbiased at any cap).
+MH_DOC_SAMPLE = 2000
 
 
 @register(
@@ -6099,6 +6106,9 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id")
     w = wd.orderBy("df", "shingle")
+    # cached: the candidate self-join reads pref TWICE and the sampled /
+    # verify lineage a third time — without the cache the df-join + two
+    # windows re-execute per consumer (≤ sample-bounded rows, tiny)
     pref = (
         tok.join(dfreq, "shingle")
         .withColumn("n", F.count(F.lit(1)).over(wd))
@@ -6108,6 +6118,7 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
         )
         .select("doc_id", "shingle", "n")
+        .cache()
     )
     cand = (
         pref.alias("a")
@@ -6138,8 +6149,8 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
     ).limit(MH_EVAL_PAIRS)
-    # exact verify over the BROADCAST ≤MH_EVAL_PAIRS sample (20k pairs
-    # ≈ 640 kB): both tok joins become broadcast joins, never a
+    # exact verify over the BROADCAST ≤MH_EVAL_PAIRS sample (2k pairs
+    # ≈ 64 kB): both tok joins become broadcast joins, never a
     # corpus-wide pair shuffle
     inter = (
         F.broadcast(sampled)
@@ -6157,7 +6168,21 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = inter.filter(jacc >= PF_TAU).select(
         "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
     )
-    mh = q_minhash_signatures(spark, sf_dir)
+    # signatures from the SAME cached sampled-doc shingle frame: a doc's
+    # signature depends only on its own shingles, and only sampled-doc
+    # pairs are consulted, so restricting the 16-min aggregate to the
+    # sample is value-identical to the full-corpus pass (the oracle keeps
+    # the full-corpus mh CTE — the pair join filters it to the same rows)
+    # while skipping a second corpus-wide tokenize+explode.
+    stack = ", ".join(f"{s}L, mh_{s}" for s in range(NUM_MINHASH))
+    mh = (
+        _minhash_wide(spark, sf_dir, sh=tok)
+        .select(
+            "doc_id",
+            F.expr(f"stack({NUM_MINHASH}, {stack}) AS (seed, minhash)"),
+        )
+        .select("doc_id", "seed", "minhash")
+    )
     a = mh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("seed").alias("seed"),
