@@ -16,6 +16,7 @@ partition key (source / label / LSH band).
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5499,6 +5500,192 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall_at_k"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# RAG-shaped retrieval eval: nDCG@k beside recall@k on the ANN stack
+# --------------------------------------------------------------------------
+NDCG_K = 10
+NDCG_N_QUERIES = 5
+NDCG_NPROBE = 2
+# rank discounts 1/log2(pos+1) as integer micro-units precomputed in
+# Python and inlined as LITERALS on both engines: log2 differs by ulps
+# between libm implementations, and a literal table removes the only
+# cross-engine float divergence channel.  rel is integer (11-exact_rank),
+# so every DCG term and sum is exact integer arithmetic; the single
+# final division happens once on identical operands.
+_NDCG_DISC_MICRO = [
+    round(1_000_000 / math.log2(pos + 1)) for pos in range(1, NDCG_K + 1)
+]
+# ideal DCG: the K relevant docs in perfect order (rel K..1) — constant
+# across queries because truth assigns exactly K graded docs per query
+_NDCG_IDCG_MICRO = sum(
+    (NDCG_K + 1 - pos) * _NDCG_DISC_MICRO[pos - 1]
+    for pos in range(1, NDCG_K + 1)
+)
+_NDCG_DISC_SQL = "[" + ", ".join(str(d) for d in _NDCG_DISC_MICRO) + "]"
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e
+      WHERE vec_id < {NDCG_N_QUERIES}),
+corpus AS (SELECT * FROM e WHERE vec_id >= {NDCG_N_QUERIES}),
+scored AS MATERIALIZED (
+  SELECT q.q_id, b.vec_id, b.label,
+         round(list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM corpus b CROSS JOIN q
+),
+truth AS (
+  SELECT q_id, vec_id, ({NDCG_K} + 1 - rnk) AS rel FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id) AS rnk
+    FROM scored)
+  WHERE rnk <= {NDCG_K}
+),
+cent AS ({{centroid}}),
+cellrank AS (
+  SELECT q_id, label FROM (
+    SELECT q.q_id, c.label,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             round(list_aggregate(list_transform(
+               generate_series(1, CAST(len(c.c) AS INT)),
+               d -> (q.qv[CAST(d AS INT)] - c.c[CAST(d AS INT)])
+                  * (q.qv[CAST(d AS INT)] - c.c[CAST(d AS INT)])), 'sum'),
+               6),
+             c.label) AS rn
+    FROM cent c CROSS JOIN q)
+  WHERE rn <= {NDCG_NPROBE}
+),
+retrieved AS (
+  SELECT q_id, vec_id, rn AS pos FROM (
+    SELECT s.q_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.q_id
+                              ORDER BY s.sim DESC, s.vec_id) AS rn
+    FROM scored s
+    JOIN cellrank cr ON cr.q_id = s.q_id AND cr.label = s.label)
+  WHERE rn <= {NDCG_K}
+),
+j AS (
+  SELECT r.q_id,
+         coalesce(t.rel, 0) AS rel,
+         coalesce(t.rel, 0) * ({_NDCG_DISC_SQL})[r.pos] AS term_micro
+  FROM retrieved r
+  LEFT JOIN truth t ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+)
+SELECT q_id,
+       CAST(count(*) AS BIGINT) AS n_retrieved,
+       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_relevant_hit,
+       CAST(sum(term_micro) AS BIGINT) AS dcg_micro,
+       round(CAST(sum(term_micro) AS DOUBLE) / {_NDCG_IDCG_MICRO}, 6)
+         AS ndcg_at_k
+FROM j GROUP BY q_id
+""".replace("{centroid}", _CENTROID_SQL),
+    description="RAG-shaped retrieval eval — nDCG@k beside the recall@k "
+    "the sweep queries already grade: a deterministic query set "
+    f"(vec_id < {NDCG_N_QUERIES}) is scored against the corpus, graded "
+    f"relevance comes from the exact cosine top-{NDCG_K} (rel = "
+    f"{NDCG_K}+1-rank — position-sensitive where recall is not), the "
+    f"system under eval is the production IVF path (nprobe={NDCG_NPROBE} "
+    "by centroid L2), and each query's DCG folds integer micro-unit "
+    "rank discounts inlined as literals on both engines (log2 ulp "
+    "differences can never split them; IDCG is a shared integer "
+    "constant). Scale shape: the query set broadcasts, the corpus is "
+    "scanned once with map-side per-(query,doc) scoring, and every "
+    "window partitions by q_id — per-query top-k, never a global sort; "
+    "candidates stay cell-confined exactly as in the graded IVF "
+    "queries.",
+)
+def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < NDCG_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= NDCG_N_QUERIES)
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", "label", sim.alias("sim"))
+        .cache()
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    truth = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= NDCG_K)
+        .select(
+            "q_id", "vec_id", (F.lit(NDCG_K + 1) - F.col("rnk")).alias("rel")
+        )
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wcell = Window.partitionBy("q_id").orderBy("l2", "label")
+    cellrank = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "label", l2.alias("l2"))
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= NDCG_NPROBE)
+        .select("q_id", "label")
+    )
+    retrieved = (
+        scored.join(cellrank, ["q_id", "label"])
+        .withColumn("pos", F.row_number().over(wq))
+        .filter(F.col("pos") <= NDCG_K)
+        .select("q_id", "vec_id", "pos")
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC_MICRO])
+    rel = F.coalesce(F.col("rel"), F.lit(0))
+    joined = retrieved.join(truth, ["q_id", "vec_id"], "left").select(
+        "q_id",
+        rel.alias("rel"),
+        (rel * F.element_at(disc, F.col("pos"))).cast("long").alias(
+            "term_micro"
+        ),
+    )
+    return joined.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_relevant_hit"),
+        F.sum("term_micro").alias("dcg_micro"),
+        F.round(
+            F.sum("term_micro").cast("double") / _NDCG_IDCG_MICRO, 6
+        ).alias("ndcg_at_k"),
     )
 
 

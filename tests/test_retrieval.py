@@ -383,3 +383,32 @@ def test_tfidf_cosine_in_unit_range_and_pairs_match_lsh(spark, sf_dir):
     # every scored pair is an LSH candidate (pairs with zero shared terms
     # would drop out of the inner dot-product join; none exist here)
     assert got_pairs <= cand
+
+
+def test_retrieval_ndcg_bounds_and_partition_independence(spark):
+    from queue_system_simulator_spark.plans.llm_queries import (
+        NDCG_K,
+        NDCG_N_QUERIES,
+        _NDCG_IDCG_MICRO,
+    )
+
+    rows = QUERIES["retrieval_ndcg_eval"].build(spark, SF).collect()
+    assert len(rows) == NDCG_N_QUERIES
+    for r in rows:
+        # nDCG is a [0,1] metric; dcg_micro of a perfect retrieval is
+        # exactly the shared integer IDCG constant
+        assert 0 <= r.n_relevant_hit <= r.n_retrieved <= NDCG_K
+        assert 0 <= r.dcg_micro <= _NDCG_IDCG_MICRO
+        assert 0.0 <= r.ndcg_at_k <= 1.0
+        assert abs(r.ndcg_at_k - round(r.dcg_micro / _NDCG_IDCG_MICRO, 6)) < 1e-9
+        # zero hits iff zero DCG — relevance grades and discounts are
+        # strictly positive
+        assert (r.n_relevant_hit == 0) == (r.dcg_micro == 0)
+    base = _rows(QUERIES["retrieval_ndcg_eval"].build(spark, SF))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = _rows(QUERIES["retrieval_ndcg_eval"].build(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt

@@ -436,3 +436,62 @@ def test_xml_roundtrip_preserves_rows(spark, sf_dir):
         .collect()
     }
     assert {k: v["n"] for k, v in rows.items()} == direct
+
+
+def test_versioned_snapshots_time_travel(spark, sf_dir, tmp_path):
+    """Retention + manifest + tombstone semantics of the versioned sink:
+    every commit stays readable, the manifest matches the stored rows,
+    version content equals its log definition (latest-per-user below the
+    cut, tombstones dropped), and the final version is monotone in cut."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+    from queue_system_simulator_spark.sources.sink import (
+        read_manifest,
+        read_version,
+        write_versioned_snapshots,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    base = str(tmp_path / "tt")
+    cuts = write_versioned_snapshots(ev, base, n_versions=4, tombstone="error")
+    assert len(cuts) == 4
+    assert cuts == sorted(cuts)
+    man = {r.version: r for r in read_manifest(spark, base).collect()}
+    assert sorted(man) == [1, 2, 3, 4]
+    for k, cut in enumerate(cuts, start=1):
+        stored = read_version(spark, base, k)  # retention: all readable
+        assert man[k].cut_micros == cut
+        assert man[k].n_rows == stored.count()
+        # log definition of version k, derived independently
+        expect = (
+            ev.filter(F.col("tus") < cut)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("tus", "event_id", "event_type", "value_centi"),
+                    F.struct("tus", "event_id"),
+                ).alias("s")
+            )
+            .select(
+                "user_id", "s.tus", "s.event_id", "s.event_type", "s.value_centi"
+            )
+            .filter(F.col("event_type") != "error")
+        )
+        assert sorted(map(tuple, stored.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    # tombstones really delete: no stored row carries the tombstone type
+    for k in (1, 2, 3, 4):
+        assert (
+            read_version(spark, base, k)
+            .filter(F.col("event_type") == "error")
+            .count()
+            == 0
+        )
