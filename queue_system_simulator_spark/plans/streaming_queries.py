@@ -665,3 +665,83 @@ def q_streaming_foreachbatch_merge(
         F.col("event_type").alias("last_event_type"),
         F.col("value_centi").alias("last_value_centi"),
     )
+
+
+@register(
+    "streaming_rate_anomalies",
+    oracle="""
+WITH m AS (
+  SELECT epoch_us(ts) // 60000000 AS minute, count(*) AS n
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT minute, n,
+         count(*) OVER w AS n_prior,
+         sum(n) OVER w AS s_prior,
+         sum(n * n) OVER w AS s2_prior
+  FROM m
+  WINDOW w AS (ORDER BY minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT minute, n,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       round(CAST(n * n_prior - s_prior AS DOUBLE)
+             / sqrt(CAST(n_prior * s2_prior - s_prior * s_prior AS DOUBLE)),
+             6) AS zscore
+FROM c
+WHERE n_prior >= 10
+  AND n_prior * s2_prior - s_prior * s_prior > 0
+  AND abs(CAST(n * n_prior - s_prior AS DOUBLE)
+          / sqrt(CAST(n_prior * s2_prior - s_prior * s_prior AS DOUBLE)))
+      >= 3.0
+""",
+    description="Streaming twin of rate_anomalies, upgraded to the ONLINE "
+    "detector semantics a monitor actually deploys: Structured Streaming "
+    "maintains the per-minute total rate (tumbling 60 s windows, "
+    "watermark-bounded state, AvailableNow drain), and each minute is "
+    "scored PREQUENTIALLY — z against the mean/std of the minutes "
+    "strictly before it (>=10 of history), never its own value, so an "
+    "anomaly cannot suppress itself by inflating the baseline (the batch "
+    "twin scores against the full-series stats). Cross-engine exactness: "
+    "prior count/sum/sum-of-squares are exact integer running sums, the "
+    "variance numerator n_prior*s2 - s^2 stays in integers (no float "
+    "cancellation), and z = integer / sqrt(integer) — both engines round "
+    "identical doubles. The detector's ordered window runs on the "
+    "per-minute COLLAPSED series (calendar-bounded: one row per minute "
+    "whatever the log volume — the stl/ewma precedent), after the "
+    "distributed windowed aggregation.",
+)
+def q_streaming_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.streaming.stream import (
+        minute_total_counts,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    # window-bucket key domain is small: 8 state partitions, not 32
+    m = run_available_now(minute_total_counts(stream), state_partitions=8)
+    w = (
+        Window.orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = m.select(
+        "minute",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum("n").over(w).alias("s_prior"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2_prior"),
+    )
+    var_num = (
+        F.col("n_prior") * F.col("s2_prior")
+        - F.col("s_prior") * F.col("s_prior")
+    )
+    z = (F.col("n") * F.col("n_prior") - F.col("s_prior")).cast(
+        "double"
+    ) / F.sqrt(var_num.cast("double"))
+    return (
+        c.filter((F.col("n_prior") >= 10) & (var_num > 0))
+        .filter(F.abs(z) >= 3.0)
+        .select("minute", "n", "n_prior", F.round(z, 6).alias("zscore"))
+    )

@@ -353,6 +353,27 @@ def interval_join_purchase_clicks(
     )
 
 
+def minute_total_counts(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time tumbling 60 s TOTAL event counts (no type split) — the
+    per-minute rate series a streaming monitor maintains.  Tumbling
+    windows align to the epoch minute, so ``minute`` equals the batch
+    ``epoch_us(ts) // 60e6`` bucketing exactly.  State = one row per
+    open window inside the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "60 seconds").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("win.start")) / 60_000_000)
+            .cast("long")
+            .alias("minute"),
+            "n",
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame,
     output_mode: str = "complete",

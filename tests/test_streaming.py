@@ -525,3 +525,38 @@ def test_foreachbatch_merge_is_batching_independent(spark, sf_dir):
         .collect()
     }
     assert snap == expect
+
+
+def test_streaming_rate_anomalies_prequential(spark, sf_dir):
+    """The online detector scores each minute against strictly-prior
+    history only: recomputing the baseline batch-side from the raw events
+    must reproduce every flagged row, and no flag may appear before 10
+    minutes of history exist."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans import QUERIES
+    from queue_system_simulator_spark.schema import load_table
+
+    rows = sorted(
+        QUERIES["streaming_rate_anomalies"].build(spark, sf_dir).collect(),
+        key=lambda r: r.minute,
+    )
+    for r in rows:
+        assert r.n_prior >= 10
+        assert abs(r.zscore) >= 3.0
+    # independent batch recomputation of the prequential baseline
+    m = {
+        row.minute: row.n
+        for row in load_table(spark, sf_dir, "events")
+        .select((F.unix_micros("ts") / 60_000_000).cast("long").alias("minute"))
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    minutes = sorted(m)
+    for r in rows:
+        prior = [m[x] for x in minutes if x < r.minute]
+        assert len(prior) == r.n_prior
+        k, s, s2 = len(prior), sum(prior), sum(x * x for x in prior)
+        z = (r.n * k - s) / (k * s2 - s * s) ** 0.5
+        assert abs(z - r.zscore) < 1e-5
