@@ -1424,8 +1424,15 @@ def q_time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         / "qss_spark_timetravel"
         / f"t_{uuid.uuid4().hex[:12]}"
     )
+    # commit-loop shuffle width scoped to the bounded user-key domain at
+    # fixture scale (run_available_now's state_partitions rationale); a
+    # cluster deployment passes None and inherits the session conf
     write_versioned_snapshots(
-        ev, base, n_versions=TT_N_VERSIONS, tombstone=TT_TOMBSTONE
+        ev,
+        base,
+        n_versions=TT_N_VERSIONS,
+        tombstone=TT_TOMBSTONE,
+        shuffle_partitions=8,
     )
     old = read_version(spark, base, TT_DIFF_FROM).select(
         F.col("user_id").alias("u2"),

@@ -57,6 +57,7 @@ def write_versioned_snapshots(
     base: str,
     n_versions: int = 4,
     tombstone: str = "error",
+    shuffle_partitions: int | None = None,
 ) -> list[int]:
     """Delta/Iceberg-style versioned lake table over plain parquet, with
     RETENTION: every commit writes a new full snapshot ``v1..vN`` and no
@@ -84,7 +85,29 @@ def write_versioned_snapshots(
     returns the cut list.  Scale: each commit is one keyed argmax +
     parquet write — the same distributed work a table format's MERGE
     runs; the driver only sequences commits and two scalar bounds.
+    ``shuffle_partitions`` scopes the commit loop's shuffle width the
+    way ``run_available_now``'s ``state_partitions`` does: the
+    per-commit frames are key-cardinality-bounded, and a fixture-scale
+    caller paying 32-task shuffles on 150-row snapshots is pure
+    overhead; a 100 TB deployment leaves it None (session conf).
     """
+    spark = events.sparkSession
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _write_versioned_snapshots(
+            events, base, n_versions, tombstone
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+
+
+def _write_versioned_snapshots(
+    events: DataFrame, base: str, n_versions: int, tombstone: str
+) -> list[int]:
+    from pyspark.sql import Observation
+
     spark = events.sparkSession
     lo, hi = events.agg(F.min("tus"), F.max("tus")).first()
     span = int(hi) - int(lo) + 1
@@ -110,9 +133,12 @@ def write_versioned_snapshots(
             .select("user_id", "s.tus", "s.event_id", "s.event_type", "s.value_centi")
             .filter(F.col("event_type") != tombstone)
         )
+        # manifest row count rides the write action itself (Observation
+        # metrics) — no extra count job per commit
+        obs = Observation(f"qss_tt_v{k}")
+        snap = snap.observe(obs, F.count(F.lit(1)).alias("n"))
         snap.write.mode("overwrite").parquet(str(Path(base) / f"v{k}"))
-        n = spark.read.parquet(str(Path(base) / f"v{k}")).count()
-        manifest.append((k, cut, n))
+        manifest.append((k, cut, int(obs.get["n"])))
         prev_cut = cut
     spark.createDataFrame(
         manifest, "version BIGINT, cut_micros BIGINT, n_rows BIGINT"
