@@ -5664,15 +5664,17 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= NDCG_NPROBE)
         .select("q_id", "label")
     )
+    # cellrank is Q*nprobe rows and truth Q*K rows — both broadcast, so
+    # the corpus-side scored frame never shuffles for either join
     retrieved = (
-        scored.join(cellrank, ["q_id", "label"])
+        scored.join(F.broadcast(cellrank), ["q_id", "label"])
         .withColumn("pos", F.row_number().over(wq))
         .filter(F.col("pos") <= NDCG_K)
         .select("q_id", "vec_id", "pos")
     )
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC_MICRO])
     rel = F.coalesce(F.col("rel"), F.lit(0))
-    joined = retrieved.join(truth, ["q_id", "vec_id"], "left").select(
+    joined = retrieved.join(F.broadcast(truth), ["q_id", "vec_id"], "left").select(
         "q_id",
         rel.alias("rel"),
         (rel * F.element_at(disc, F.col("pos"))).cast("long").alias(
