@@ -560,3 +560,51 @@ def test_streaming_rate_anomalies_prequential(spark, sf_dir):
         k, s, s2 = len(prior), sum(prior), sum(x * x for x in prior)
         z = (r.n * k - s) / (k * s2 - s * s) ** 0.5
         assert abs(z - r.zscore) < 1e-5
+
+
+def test_multibatch_split_invalidates_on_source_change(spark, tmp_path):
+    """The multibatch split cache is keyed by a fingerprint of the source
+    data files: regenerating the fixture at the SAME path must stream the
+    NEW rows, not a stale cached split (silent-divergence fix)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.streaming.stream import (
+        run_available_now,
+        stream_events_multibatch,
+    )
+
+    src_dir = tmp_path / "sfX"
+    src_dir.mkdir()
+
+    def drained_count():
+        stream = stream_events_multibatch(spark, str(src_dir), n_files=2)
+        row = run_available_now(
+            stream.groupBy().agg(F.count(F.lit(1)).alias("n")),
+            state_partitions=2,
+        ).first()
+        return row.n
+
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src_dir / "events.parquet"
+    )
+    n1 = drained_count()
+    # regenerate the fixture in place with a strictly smaller slice
+    half = (
+        spark.read.parquet(str(src_dir / "events.parquet"))
+        .orderBy("event_id")
+        .limit(n1 // 2)
+        .toPandas()
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (src_dir / "events.parquet").unlink()
+    pq.write_table(
+        pa.Table.from_pandas(half, preserve_index=False),
+        src_dir / "events.parquet",
+    )
+    n2 = drained_count()
+    assert n1 > 0
+    assert n2 == n1 // 2  # stale path-keyed cache would return n1 again
