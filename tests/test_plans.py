@@ -509,3 +509,14 @@ def test_stl_residual_anomalies_consistent(spark, sf_dir):
         assert 0 <= r["n_anomalies"] <= r["n_days"]
         assert r["mad_rem"] >= 0
         assert r["worst_day"] in days[r["event_type"]]
+
+
+def test_retrieval_ndcg_broadcasts_bounded_frames(spark, sf_dir):
+    """The two query-set-bounded frames (probed cells, graded truth) must
+    broadcast — the corpus-side scored frame never shuffles for a join —
+    and nothing in the eval plans as a cartesian product."""
+    df = QUERIES["retrieval_ndcg_eval"].build(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
