@@ -201,6 +201,13 @@ HEADLINE = [
     # a deterministic md5-ranked sample (VERDICT_r5 #3), so its cost no
     # longer tracks the corpus's true-pair population
     "minhash_estimate_error",
+    # round-7 additions: graded-relevance retrieval eval (corpus-linear
+    # truth, cell-confined candidates), physical time travel (4 serial
+    # copy-on-write commits — cost is the commit chain, flat in rows),
+    # and the online prequential rate monitor
+    "retrieval_ndcg_eval",
+    "time_travel_version_diff",
+    "streaming_rate_anomalies",
 ]
 
 
