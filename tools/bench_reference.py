@@ -150,7 +150,29 @@ def main() -> None:
             "the sharded row is the\nhorizontal axis a cluster uses — "
             "independent queues/tenants/scenarios in\nparallel — which the "
             "single-threaded reference cannot express at any size.\n"
+            + HISTORY
         )
+
+
+# Hand-maintained context re-emitted on every regeneration (a bare rewrite
+# dropped it once in round 7 — keep the history IN the generator).
+HISTORY = """
+Scale note: both sequential columns degrade identically toward ~5k rows/s
+at 1M rows — the reference's priority dequeue is an O(n) scan
+(`/root/reference/src/queue_manager.py:160-221`), so a deep backlog makes
+the whole run O(n²), and the clean-room kernel reproduces that semantics
+(scan-order quirk 4) rather than "fixing" it. At 2,000 rows (shallow
+queue) the engine kernel measured 2.7x faster than the reference on the
+same semantics (round-3 run); at every size the sharded Spark path is the
+one that matters for 100 TB.
+
+Measurement history (same tool, zero kernel changes since round 3):
+round 3 sequential 1.03x / sharded 46.6x; round 6 (busier fleet VM)
+1.02x / 35.6x; round 7 1.01x / 42.5x. Sequential parity is stable at
+1.01-1.03x across rounds; the sharded number moves with ambient VM load
+between 35x and 47x — always an order of magnitude beyond what the
+single-threaded reference can express.
+"""
 
 
 if __name__ == "__main__":
