@@ -31,20 +31,20 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: green (tpch_q15_top_supplier r03-green but scalar-agg rewrite;
 #: watermark_lateness_audit r05-green but global_cummax rewrite;
 #: minhash_estimate_error r06-green but possibly graded pre-b1732f8
-#: double-sampling), and 30 freshness re-greens — all 31 oldest (r02)
-#: greens except multimodal_frame_sample (its twin
-#: multimodal_features is in-window; it rotates in round 8).  The 4
-#: rows-only queries (fifo_stats_approx + 3 kernel RNG runs) are NOT
-#: exposed to the driver: CORRECTNESS_r01 shows the driver records an
-#: oracle-less queries() entry as ``err: "no_oracle"``
-#: (generate_requests, r01) — there is no weaker rows-only path in
-#: practice, so registering them can only add error rows.  They stay
-#: pytest- and check_oracle-covered (``ok*`` lines).  Everything
-#: rotated OUT was driver-green in a prior round and stays registered
-#: + locally gated (COVERAGE_LEDGER.md is the committed snapshot).
-#: Cumulative if this window grades green: 253/253 oracle-backed
-#: queries driver-graded at least once — coverage closed over the
-#: gradeable registry.
+#: double-sampling), 29 freshness re-greens (the oldest r02-era greens
+#: — multimodal_frame_sample and token_count_regex defer to round 8,
+#: each having an in-window family twin), and ``fifo_stats_approx`` as
+#: the one rows-only entry (VERDICT_r6 "What's wrong" #3 asks for its
+#: first driver row; its r01 err was under the old oracle protocol,
+#: and the current contract gives oracle-less entries a rows-only
+#: check — see registry.all_queries).  The other 3 rows-only kernel
+#: runs are exposed in queries() but sit outside the first 50; they
+#: rotate into round 8.  Everything rotated OUT was driver-green in a
+#: prior round and stays registered + locally gated
+#: (COVERAGE_LEDGER.md is the committed snapshot).  Cumulative if this
+#: window grades green: 253/256 oracle-backed queries plus the first
+#: rows-only row — the original 253-query oracle pool closes
+#: completely.
 DRIVER_WINDOW = [
     # --- continuity anchors (green in r01..r06) ---
     "ingest_requests",
@@ -100,7 +100,8 @@ DRIVER_WINDOW = [
     "streaming_fifo_state",
     "streaming_tumbling_counts",
     "text_stats",
-    "token_count_regex",
+    # --- rows-only (weaker driver check; VERDICT_r6 ask) ---
+    "fifo_stats_approx",
 ]
 
 

@@ -9,10 +9,17 @@ from queue_system_simulator_spark.plans import QUERIES, all_queries
 
 def test_readme_counts_match_registry():
     src = open("/root/repo/README.md").read()
-    m = re.search(r"# (\d+) registered queries \((\d+) driver-facing\)", src)
+    m = re.search(
+        r"# (\d+) registered queries \(all driver-facing; (\d+) "
+        r"oracle-backed \+ (\d+) rows-only\)",
+        src,
+    )
     assert m, "README layout line with query counts missing"
     assert int(m.group(1)) == len(QUERIES)
-    assert int(m.group(2)) == len(all_queries())
+    assert int(m.group(1)) == len(all_queries())  # rows-only exposed too
+    n_oracle = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    assert int(m.group(2)) == n_oracle
+    assert int(m.group(3)) == len(QUERIES) - n_oracle
 
 
 def test_queries_md_count_matches_registry():
@@ -20,8 +27,9 @@ def test_queries_md_count_matches_registry():
     m = re.search(r"(\d+) queries, (\d+) oracle-checked, (\d+) rows-only", src)
     assert m
     assert int(m.group(1)) == len(QUERIES)
-    assert int(m.group(2)) == len(all_queries())
-    assert int(m.group(3)) == len(QUERIES) - len(all_queries())
+    n_oracle = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    assert int(m.group(2)) == n_oracle
+    assert int(m.group(3)) == len(QUERIES) - n_oracle
 
 
 def test_driver_window_is_exactly_fifty_and_oracled():
