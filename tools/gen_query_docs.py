@@ -16,11 +16,13 @@ HEADER = """# Query catalog
 Auto-generated from `queue_system_simulator_spark/plans/` by
 `tools/gen_query_docs.py` — do not edit by hand.
 
-Every query is callable through `__spark_entry__.queries()` as
-`fn(spark, sf_dir)`; "oracle" marks DuckDB-SQL-verified queries (the
-driver hash-compares values), "rows-only" marks intentionally
-non-SQL-expressible paths (RNG-coupled simulation, engine-specific rand
-streams, approximate sketches).
+Every "oracle" query is callable through `__spark_entry__.queries()` as
+`fn(spark, sf_dir)` and DuckDB-SQL-verified (the driver hash-compares
+values); "rows-only" marks intentionally non-SQL-expressible paths
+(RNG-coupled simulation, engine-specific rand streams, approximate
+sketches) — registered and pytest-golden-gated but NOT driver-exposed,
+because the driver records oracle-less entries as err:"no_oracle"
+(observed rounds 1 and 7).
 
 | # | Query | Check | Description |
 |---|---|---|---|
@@ -36,7 +38,8 @@ def main() -> None:
         lines.append(f"| {i} | `{name}` | {check} | {desc} |\n")
     lines.append(
         f"\n{len(QUERIES)} queries, {len(oracles)} oracle-checked, "
-        f"{len(QUERIES) - len(oracles)} rows-only.\n"
+        f"{len(QUERIES) - len(oracles)} rows-only "
+        f"(pytest-gated, not driver-exposed).\n"
     )
     with open("/root/repo/QUERIES.md", "w") as f:
         f.writelines(lines)
