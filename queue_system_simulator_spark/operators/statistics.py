@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.operators.transforms import (
     REJECTED_SENTINEL,
     valid_queuing_rows,
@@ -289,7 +290,8 @@ def exact_percentiles_distributed(
         # bucket ranks independently in parallel
         from pyspark.sql import Window
 
-        tgt = spark.createDataFrame(
+        tgt = local_df(
+            spark,
             [(pid, loc, rank) for pid, pairs in targets.items()
              for loc, rank in pairs],
             "pid int, loc long, rank long",
@@ -372,8 +374,8 @@ def global_row_number(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "__gr_pid int, __gr_off long"
+    off_df = local_df(
+        spark, offsets or [(0, 0)], "__gr_pid int, __gr_off long"
     )
     w = Window.partitionBy("__gr_pid").orderBy(*order_by)
     ranked = (
@@ -481,7 +483,7 @@ def global_cumsum(
     # empty input: an empty offsets frame (the inner join below then yields
     # the correct empty result) — a dummy row would break on grouped calls,
     # whose schema is wider than (pid, off)
-    off_df = spark.createDataFrame(offsets, gschema)
+    off_df = local_df(spark, offsets, gschema)
     w = Window.partitionBy("__cs_pid", *group_by).orderBy(*order_by)
     frame = w.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     out = (
@@ -542,8 +544,8 @@ def global_cummax(
         offsets.append((row["__cm_pid"], run))
         if row["m"] is not None:
             run = row["m"] if run is None else max(run, row["m"])
-    off_df = spark.createDataFrame(
-        offsets or [(0, None)], "__cm_pid int, __cm_off long"
+    off_df = local_df(
+        spark, offsets or [(0, None)], "__cm_pid int, __cm_off long"
     )
     w = Window.partitionBy("__cm_pid").orderBy(*order_by)
     frame = w.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.plans.registry import register
 from queue_system_simulator_spark.schema import load_table
 from queue_system_simulator_spark.operators.transforms import (
@@ -177,8 +178,8 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id"), F.min("hr"), F.max("hr")
     ).first()
     if not nusers:
-        return spark.createDataFrame(
-            [], "user_a long, user_b long, cosine_sim double"
+        return local_df(
+            spark, [], "user_a long, user_b long, cosine_sim double"
         )
     n_blocks = max(1, math.ceil(nusers / 256))
     n_hours = int(hr_max - hr_min + 1)
@@ -186,7 +187,8 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_k = 64  # per-block-pair candidate cap; global top-20 needs ≥45
     #            identically-rounded cosines in ONE block pair to miss
 
-    block_pairs = spark.createDataFrame(
+    block_pairs = local_df(
+        spark,
         [
             (i * n_blocks + j, i, j)
             for i in range(n_blocks)

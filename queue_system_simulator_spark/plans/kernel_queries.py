@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.operators.fifo import fifo_k1_timeline_sql
 from queue_system_simulator_spark.operators.kernel import SimParams, simulate
 from queue_system_simulator_spark.plans.registry import register
@@ -274,8 +275,8 @@ def q_kernel_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("value").alias("processing_time"),
     )
-    grid = spark.createDataFrame(
-        [(k, rpm) for k in (1, 2, 4) for rpm in (30, 60)], "k int, rpm int"
+    grid = local_df(
+        spark, [(k, rpm) for k in (1, 2, 4) for rpm in (30, 60)], "k int, rpm int"
     )
     swept = base.crossJoin(F.broadcast(grid))
     params = SimParams(queue_mode="priority", seed=42)

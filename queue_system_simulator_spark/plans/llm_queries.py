@@ -22,6 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.plans.registry import (
     QUERIES as _REGISTRY,
     register,
@@ -4772,7 +4773,8 @@ def q_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
-    grid = spark.createDataFrame(
+    grid = local_df(
+        spark,
         [(q, m) for q in SWEEP_Q_THRESHOLDS for m in SWEEP_MIN_TOKENS],
         "q_min double, tok_min long",
     )

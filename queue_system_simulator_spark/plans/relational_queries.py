@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.plans.registry import register
 from queue_system_simulator_spark.schema import load_table
 
@@ -1404,7 +1405,6 @@ GROUP BY c.change_type
 )
 def q_time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
-    import uuid
     from pathlib import Path
 
     from queue_system_simulator_spark.sources.sink import (
@@ -1419,20 +1419,26 @@ def q_time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_centi"),
     )
+    # deterministic per-sf_dir path: every write below is
+    # mode("overwrite"), so repeated builds (bench samples, driver runs,
+    # tests) reuse ONE directory instead of leaking a fresh uuid dir per
+    # invocation into /tmp (the multibatch-cache precedent)
     base = str(
         Path(tempfile.gettempdir())
         / "qss_spark_timetravel"
-        / f"t_{uuid.uuid4().hex[:12]}"
+        / Path(sf_dir.rstrip("/")).name
     )
     # commit-loop shuffle width scoped to the bounded user-key domain at
-    # fixture scale (run_available_now's state_partitions rationale); a
-    # cluster deployment passes None and inherits the session conf
+    # fixture scale (run_available_now's state_partitions rationale;
+    # ~1.5k users → ~1.2k-row snapshots, so 2 keyed partitions per
+    # commit); a cluster deployment passes None and inherits the
+    # session conf
     write_versioned_snapshots(
         ev,
         base,
         n_versions=TT_N_VERSIONS,
         tombstone=TT_TOMBSTONE,
-        shuffle_partitions=8,
+        shuffle_partitions=2,
     )
     old = read_version(spark, base, TT_DIFF_FROM).select(
         F.col("user_id").alias("u2"),
@@ -1455,7 +1461,8 @@ def q_time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("vc2"), F.lit(0))
         ).alias("delta"),
     )
-    cats = spark.createDataFrame(
+    cats = local_df(
+        spark,
         [("added",), ("removed",), ("changed",), ("unchanged",)],
         "change_type STRING",
     )

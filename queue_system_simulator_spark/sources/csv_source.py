@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.schema import REQUEST_SCHEMA
 
 REQUIRED_COLUMNS = ("user_id", "request_time", "processing_time")
@@ -85,7 +86,7 @@ def read_requests_csv(
     """
     header = _read_header(spark, path)
     if not header:  # empty file → empty frame (reference returns [])
-        return spark.createDataFrame([], REQUEST_SCHEMA)
+        return local_df(spark, [], REQUEST_SCHEMA)
     validate_required_columns(header)
 
     schema = REQUEST_SCHEMA

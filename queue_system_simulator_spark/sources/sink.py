@@ -85,65 +85,76 @@ def write_versioned_snapshots(
     returns the cut list.  Scale: each commit is one keyed argmax +
     parquet write — the same distributed work a table format's MERGE
     runs; the driver only sequences commits and two scalar bounds.
-    ``shuffle_partitions`` scopes the commit loop's shuffle width the
-    way ``run_available_now``'s ``state_partitions`` does: the
-    per-commit frames are key-cardinality-bounded, and a fixture-scale
-    caller paying 32-task shuffles on 150-row snapshots is pure
-    overhead; a 100 TB deployment leaves it None (session conf).
+    ``shuffle_partitions`` scopes the commit loop's shuffle width by
+    EXPLICITLY repartitioning each commit's merge input on the key
+    (``repartition(n, user_id)`` — the keyed aggregate then reuses that
+    hash partitioning, so no second exchange appears).  No session conf
+    is mutated: concurrent queries on the same session are unaffected.
+    The per-commit frames are key-cardinality-bounded, and a
+    fixture-scale caller paying 32-task shuffles on 150-row snapshots
+    is pure overhead; a 100 TB deployment leaves it None (session conf).
     """
-    spark = events.sparkSession
-    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        return _write_versioned_snapshots(
-            events, base, n_versions, tombstone
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
-
-
-def _write_versioned_snapshots(
-    events: DataFrame, base: str, n_versions: int, tombstone: str
-) -> list[int]:
+    from pyspark import StorageLevel
     from pyspark.sql import Observation
 
     spark = events.sparkSession
-    lo, hi = events.agg(F.min("tus"), F.max("tus")).first()
-    span = int(hi) - int(lo) + 1
-    cuts = [int(lo) + (span * k) // n_versions for k in range(1, n_versions + 1)]
-    prev_cut = None
-    manifest = []
-    for k, cut in enumerate(cuts, start=1):
-        inc = events.filter(F.col("tus") < cut)
-        if prev_cut is not None:
-            inc = inc.filter(F.col("tus") >= prev_cut)
-            prev = spark.read.schema(events.schema).parquet(
-                str(Path(base) / f"v{k - 1}")
+    # the input is scanned once for the span bounds and once per commit
+    # slice — persist across the commit loop so the source (parquet scan
+    # + projection) is computed once
+    events.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        lo, hi = events.agg(F.min("tus"), F.max("tus")).first()
+        span = int(hi) - int(lo) + 1
+        cuts = [
+            int(lo) + (span * k) // n_versions for k in range(1, n_versions + 1)
+        ]
+        prev_cut = None
+        manifest = []
+        for k, cut in enumerate(cuts, start=1):
+            inc = events.filter(F.col("tus") < cut)
+            if prev_cut is not None:
+                inc = inc.filter(F.col("tus") >= prev_cut)
+                prev = spark.read.schema(events.schema).parquet(
+                    str(Path(base) / f"v{k - 1}")
+                )
+                inc = prev.unionByName(inc)
+            if shuffle_partitions:
+                inc = inc.repartition(shuffle_partitions, "user_id")
+            snap = (
+                inc.groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("tus", "event_id", "event_type", "value_centi"),
+                        F.struct("tus", "event_id"),
+                    ).alias("s")
+                )
+                .select(
+                    "user_id", "s.tus", "s.event_id", "s.event_type", "s.value_centi"
+                )
+                .filter(F.col("event_type") != tombstone)
             )
-            inc = prev.unionByName(inc)
-        snap = (
-            inc.groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("tus", "event_id", "event_type", "value_centi"),
-                    F.struct("tus", "event_id"),
-                ).alias("s")
-            )
-            .select("user_id", "s.tus", "s.event_id", "s.event_type", "s.value_centi")
-            .filter(F.col("event_type") != tombstone)
-        )
-        # manifest row count rides the write action itself (Observation
-        # metrics) — no extra count job per commit
-        obs = Observation(f"qss_tt_v{k}")
-        snap = snap.observe(obs, F.count(F.lit(1)).alias("n"))
-        snap.write.mode("overwrite").parquet(str(Path(base) / f"v{k}"))
-        manifest.append((k, cut, int(obs.get["n"])))
-        prev_cut = cut
-    spark.createDataFrame(
-        manifest, "version BIGINT, cut_micros BIGINT, n_rows BIGINT"
-    ).coalesce(1).write.mode("overwrite").parquet(str(Path(base) / "_manifest"))
-    return cuts
+            # manifest row count rides the write action itself (Observation
+            # metrics) — no extra count job per commit
+            obs = Observation(f"qss_tt_v{k}")
+            snap = snap.observe(obs, F.count(F.lit(1)).alias("n"))
+            snap.write.mode("overwrite").parquet(str(Path(base) / f"v{k}"))
+            manifest.append((k, cut, int(obs.get["n"])))
+            prev_cut = cut
+        # manifest via a JVM-side VALUES scan: createDataFrame over a
+        # Python list routes through a pickled Python RDD whose write
+        # task pays a Python-worker round trip (~4.5 s measured for 4
+        # rows on this container); the VALUES plan is a LocalTableScan
+        # (~0.2 s) and the literals are trusted ints from this function
+        vals = ", ".join(f"({v}, {c}, {n})" for v, c, n in manifest)
+        spark.sql(
+            "SELECT CAST(version AS BIGINT) AS version, "
+            "CAST(cut_micros AS BIGINT) AS cut_micros, "
+            "CAST(n_rows AS BIGINT) AS n_rows "
+            f"FROM VALUES {vals} AS t(version, cut_micros, n_rows)"
+        ).coalesce(1).write.mode("overwrite").parquet(str(Path(base) / "_manifest"))
+        return cuts
+    finally:
+        events.unpersist()
 
 
 def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:

@@ -31,6 +31,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.schema import load_table
 
 
@@ -366,9 +367,10 @@ def minute_total_counts(
         .groupBy(F.window("ts", "60 seconds").alias("win"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            (F.unix_micros(F.col("win.start")) / 60_000_000)
-            .cast("long")
-            .alias("minute"),
+            # integer floor division (matches the oracle's epoch_us //
+            # 60e6 for negative pre-epoch timestamps too; true division
+            # + cast would truncate toward zero)
+            F.expr("unix_micros(win.start) div 60000000").alias("minute"),
             "n",
         )
     )
@@ -695,5 +697,5 @@ def run_foreachbatch_merge(keyed: DataFrame) -> DataFrame:
     )
     q.awaitTermination()
     if state["v"] == 0:  # empty source: no batch ever fired
-        return spark.createDataFrame([], keyed.schema)
+        return local_df(spark, [], keyed.schema)
     return spark.read.schema(keyed.schema).parquet(str(base / f"v{state['v']}"))
