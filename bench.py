@@ -208,6 +208,9 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "time_travel_version_diff",
     "streaming_rate_anomalies",
+    # round-8 addition: CDC change-feed read of the versioned sink (same
+    # commit chain as time travel + one keyed join per commit pair)
+    "versioned_cdc_feed",
 ]
 
 

@@ -46,7 +46,12 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: cluster_aware_split / zorder_file_layout — split_strategy_eval /
 #: zorder_layout_manifest r07-green).  Everything rotated OUT was
 #: driver-green in a prior round and stays registered + locally gated
-#: (COVERAGE_LEDGER.md is the committed snapshot).
+#: (COVERAGE_LEDGER.md is the committed snapshot).  The 50th slot goes
+#: to the round-8 addition ``versioned_cdc_feed`` (the verdict's item-7
+#: seam) instead of a 30th r03 re-green (``streaming_session_counts``
+#: joins the round-9 deferral pool — its family has three in-window
+#: twins), so a fully green round certifies the ENTIRE oracle-backed
+#: registry, new op included.
 DRIVER_WINDOW = [
     # --- continuity anchors (green every round r01..r07) ---
     "ingest_requests",
@@ -103,7 +108,9 @@ DRIVER_WINDOW = [
     "multimodal_audio_windows",
     "streaming_dedup_within_watermark",
     "streaming_interval_join",
-    "streaming_session_counts",
+    # --- round-8 addition (local-green; the round-7 verdict's one
+    # unclaimed seam: CDC feed read of the versioned sink) ---
+    "versioned_cdc_feed",
 ]
 
 

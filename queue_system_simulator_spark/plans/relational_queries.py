@@ -1475,3 +1475,155 @@ def q_time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("delta"), F.lit(0)).alias("value_centi_delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CDC change feed read of the versioned sink (the commit log as a stream
+# of row-level changes)
+# --------------------------------------------------------------------------
+def _cdc_state_cte(k: int) -> str:
+    """DuckDB CTE deriving stored version k from the raw log (same
+    definition the sink's incremental MERGE chain must satisfy)."""
+    return f"""s{k} AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_centi
+  FROM (
+    SELECT e.user_id, e.event_id, e.event_type, e.value,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY epoch_us(e.ts) DESC,
+                                       e.event_id DESC) AS rn
+    FROM events e, b
+    WHERE epoch_us(e.ts) < b.tmin + (b.span * {k}) // {TT_N_VERSIONS})
+  WHERE rn = 1 AND event_type != '{TT_TOMBSTONE}'
+)"""
+
+
+def _cdc_commit_sql(k: int) -> str:
+    if k == 1:
+        return (
+            "SELECT CAST(1 AS BIGINT) AS version, user_id, "
+            "'insert' AS change_type, value_centi AS value_centi_delta "
+            "FROM s1"
+        )
+    return f"""SELECT CAST({k} AS BIGINT) AS version,
+       coalesce(a.user_id, c.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'insert'
+            WHEN c.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       coalesce(c.value_centi, 0) - coalesce(a.value_centi, 0)
+         AS value_centi_delta
+FROM s{k - 1} a FULL OUTER JOIN s{k} c ON a.user_id = c.user_id
+WHERE a.user_id IS NULL OR c.user_id IS NULL OR a.event_id != c.event_id"""
+
+
+_CDC_FEED_ORACLE = (
+    """WITH b AS (
+  SELECT min(epoch_us(ts)) AS tmin,
+         max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+  FROM events
+),
+"""
+    + ",\n".join(_cdc_state_cte(k) for k in range(1, TT_N_VERSIONS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(_cdc_commit_sql(k) for k in range(1, TT_N_VERSIONS + 1))
+)
+
+
+@register(
+    "versioned_cdc_feed",
+    oracle=_CDC_FEED_ORACLE,
+    description="CDC change-feed READ of the versioned lake sink — the "
+    "consumer side of time_travel_version_diff's commit log (Delta CDF / "
+    "Iceberg changelog surface): the engine builds the same "
+    f"{TT_N_VERSIONS}-commit copy-on-write table, then derives the "
+    "row-level change feed purely from STORED state — v1 bootstraps as "
+    "inserts, and each later commit pair (v(k-1), v(k)) full-outer joins "
+    "on the key into insert/update/delete rows with exact integer-cent "
+    "deltas (a tombstone-hidden row surfaces as 'delete', a later "
+    "re-insert as 'insert'). The oracle re-derives every commit from the "
+    "raw log, so a green row proves the feed a downstream consumer would "
+    "replay reconstructs exactly the history the log defines. Differs "
+    "from cdc_merge_orders (applies a change batch) and "
+    "snapshot_diff_user_state (log-side, no storage): here changes are "
+    "EXTRACTED from retained physical versions. Scale: one keyed join "
+    "per commit pair over snapshot-sized frames, unioned — each join "
+    "shuffles only on the key; commit count is the (small) log length, "
+    "so the feed is a linear chain of bounded keyed joins.",
+)
+def q_versioned_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from queue_system_simulator_spark.sources.sink import (
+        read_version,
+        write_versioned_snapshots,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    # own deterministic base (overwrite-reused per sf_dir) so this query
+    # and time_travel_version_diff never race on one directory tree
+    base = str(
+        Path(tempfile.gettempdir())
+        / "qss_spark_cdcfeed"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    write_versioned_snapshots(
+        ev,
+        base,
+        n_versions=TT_N_VERSIONS,
+        tombstone=TT_TOMBSTONE,
+        shuffle_partitions=2,
+    )
+    feed = None
+    prev = None
+    for k in range(1, TT_N_VERSIONS + 1):
+        cur = read_version(spark, base, k).select(
+            "user_id", "event_id", "value_centi"
+        )
+        if prev is None:
+            ch = cur.select(
+                F.lit(1).cast("long").alias("version"),
+                "user_id",
+                F.lit("insert").alias("change_type"),
+                F.col("value_centi").alias("value_centi_delta"),
+            )
+        else:
+            a = prev.select(
+                F.col("user_id").alias("u_a"),
+                F.col("event_id").alias("eid_a"),
+                F.col("value_centi").alias("vc_a"),
+            )
+            c = cur.select(
+                F.col("user_id").alias("u_c"),
+                F.col("event_id").alias("eid_c"),
+                F.col("value_centi").alias("vc_c"),
+            )
+            ch = (
+                a.join(c, F.col("u_a") == F.col("u_c"), "full_outer")
+                .filter(
+                    F.col("u_a").isNull()
+                    | F.col("u_c").isNull()
+                    | (F.col("eid_a") != F.col("eid_c"))
+                )
+                .select(
+                    F.lit(k).cast("long").alias("version"),
+                    F.coalesce(F.col("u_a"), F.col("u_c")).alias("user_id"),
+                    F.when(F.col("u_a").isNull(), "insert")
+                    .when(F.col("u_c").isNull(), "delete")
+                    .otherwise("update")
+                    .alias("change_type"),
+                    (
+                        F.coalesce(F.col("vc_c"), F.lit(0))
+                        - F.coalesce(F.col("vc_a"), F.lit(0))
+                    ).alias("value_centi_delta"),
+                )
+            )
+        feed = ch if feed is None else feed.unionByName(ch)
+        prev = cur
+    return feed

@@ -495,3 +495,47 @@ def test_versioned_snapshots_time_travel(spark, sf_dir, tmp_path):
             .count()
             == 0
         )
+
+
+def test_versioned_cdc_feed_replays_to_final_version(spark, sf_dir):
+    """The CDC feed is a faithful changelog: replaying it (membership from
+    insert/delete, value from summed deltas) reconstructs the final stored
+    version exactly, and each commit's feed rows touch only real changes."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.plans import QUERIES
+    from queue_system_simulator_spark.sources.sink import read_version
+
+    feed = QUERIES["versioned_cdc_feed"].build(spark, sf_dir)
+    rows = feed.collect()
+    assert {r.change_type for r in rows} <= {"insert", "update", "delete"}
+    # replay driver-side (feed is small: <= users x commits)
+    alive: dict = {}
+    value: dict = {}
+    for r in sorted(rows, key=lambda r: r.version):
+        value[r.user_id] = value.get(r.user_id, 0) + r.value_centi_delta
+        if r.change_type == "insert":
+            assert not alive.get(r.user_id, False), r
+            alive[r.user_id] = True
+        elif r.change_type == "delete":
+            assert alive.get(r.user_id, False), r
+            alive[r.user_id] = False
+        else:
+            assert alive.get(r.user_id, False), r
+    import tempfile
+    from pathlib import Path
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / "qss_spark_cdcfeed"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    final = {
+        r.user_id: r.value_centi
+        for r in read_version(spark, base, 4)
+        .select("user_id", "value_centi")
+        .collect()
+    }
+    assert {u for u, a in alive.items() if a} == set(final)
+    for u, vc in final.items():
+        assert value[u] == vc, u
