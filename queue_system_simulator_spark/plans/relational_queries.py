@@ -1428,17 +1428,16 @@ def q_time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         / "qss_spark_timetravel"
         / Path(sf_dir.rstrip("/")).name
     )
-    # commit-loop shuffle width scoped to the bounded user-key domain at
-    # fixture scale (run_available_now's state_partitions rationale;
-    # ~1.5k users → ~1.2k-row snapshots, so 2 keyed partitions per
-    # commit); a cluster deployment passes None and inherits the
-    # session conf
+    # commit-loop shuffle width self-sized from the input row count
+    # ("auto": ~250k rows per keyed partition, clamped to [2,
+    # defaultParallelism]) — narrow cheap commits at fixture scale,
+    # proportionally wider on the 100x probe, session conf on a cluster
     write_versioned_snapshots(
         ev,
         base,
         n_versions=TT_N_VERSIONS,
         tombstone=TT_TOMBSTONE,
-        shuffle_partitions=2,
+        shuffle_partitions="auto",
     )
     old = read_version(spark, base, TT_DIFF_FROM).select(
         F.col("user_id").alias("u2"),
@@ -1578,7 +1577,7 @@ def q_versioned_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         base,
         n_versions=TT_N_VERSIONS,
         tombstone=TT_TOMBSTONE,
-        shuffle_partitions=2,
+        shuffle_partitions="auto",
     )
     feed = None
     prev = None

@@ -57,7 +57,7 @@ def write_versioned_snapshots(
     base: str,
     n_versions: int = 4,
     tombstone: str = "error",
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = None,
 ) -> list[int]:
     """Delta/Iceberg-style versioned lake table over plain parquet, with
     RETENTION: every commit writes a new full snapshot ``v1..vN`` and no
@@ -93,6 +93,11 @@ def write_versioned_snapshots(
     The per-commit frames are key-cardinality-bounded, and a
     fixture-scale caller paying 32-task shuffles on 150-row snapshots
     is pure overhead; a 100 TB deployment leaves it None (session conf).
+    ``"auto"`` sizes the width from the input row count measured by the
+    same bounds aggregate the cut computation already runs (one row per
+    ~250k input rows, clamped to [2, defaultParallelism]) — small
+    fixtures get narrow cheap commits, a 100× probe widens itself, and
+    nothing is hardcoded to either scale.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Observation
@@ -103,7 +108,17 @@ def write_versioned_snapshots(
     # + projection) is computed once
     events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        lo, hi = events.agg(F.min("tus"), F.max("tus")).first()
+        lo, hi, n_rows = events.agg(
+            F.min("tus"), F.max("tus"), F.count(F.lit(1))
+        ).first()
+        if shuffle_partitions == "auto":
+            shuffle_partitions = max(
+                2,
+                min(
+                    int(spark.sparkContext.defaultParallelism),
+                    int(n_rows) // 250_000 + 1,
+                ),
+            )
         span = int(hi) - int(lo) + 1
         cuts = [
             int(lo) + (span * k) // n_versions for k in range(1, n_versions + 1)
