@@ -52,6 +52,17 @@ def write_requests_csv(
     out.write.mode(mode).option("header", True).csv(path)
 
 
+def auto_commit_width(
+    n_rows: int, parallelism: int, rows_per_partition: int = 250_000
+) -> int:
+    """Keyed-shuffle width for one versioned-sink commit, sized from the
+    measured input: one partition per ``rows_per_partition`` input rows,
+    clamped to ``[2, parallelism]``.  Small fixtures get narrow cheap
+    commits; a 100× input widens itself up to the cluster's parallelism —
+    nothing is hardcoded to either scale."""
+    return max(2, min(int(parallelism), int(n_rows) // rows_per_partition + 1))
+
+
 def write_versioned_snapshots(
     events: DataFrame,
     base: str,
@@ -112,12 +123,8 @@ def write_versioned_snapshots(
             F.min("tus"), F.max("tus"), F.count(F.lit(1))
         ).first()
         if shuffle_partitions == "auto":
-            shuffle_partitions = max(
-                2,
-                min(
-                    int(spark.sparkContext.defaultParallelism),
-                    int(n_rows) // 250_000 + 1,
-                ),
+            shuffle_partitions = auto_commit_width(
+                int(n_rows), int(spark.sparkContext.defaultParallelism)
             )
         span = int(hi) - int(lo) + 1
         cuts = [

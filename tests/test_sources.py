@@ -539,3 +539,17 @@ def test_versioned_cdc_feed_replays_to_final_version(spark, sf_dir):
     assert {u for u, a in alive.items() if a} == set(final)
     for u, vc in final.items():
         assert value[u] == vc, u
+
+
+def test_auto_commit_width_clamps():
+    """'auto' width = one keyed partition per ~250k input rows, clamped to
+    [2, parallelism]: fixtures stay narrow, a 100x probe widens itself."""
+    from queue_system_simulator_spark.sources.sink import auto_commit_width
+
+    assert auto_commit_width(0, 32) == 2  # empty input: minimum width
+    assert auto_commit_width(150, 32) == 2  # fixture scale stays narrow
+    assert auto_commit_width(499_999, 32) == 2
+    assert auto_commit_width(1_000_000, 32) == 5
+    assert auto_commit_width(10_000_000, 32) == 32  # probe scale hits cap
+    assert auto_commit_width(10_000_000, 1000) == 41  # cluster headroom used
+    assert auto_commit_width(10_000_000, 3) == 3  # never exceeds parallelism
