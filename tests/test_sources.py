@@ -553,3 +553,34 @@ def test_auto_commit_width_clamps():
     assert auto_commit_width(10_000_000, 32) == 32  # probe scale hits cap
     assert auto_commit_width(10_000_000, 1000) == 41  # cluster headroom used
     assert auto_commit_width(10_000_000, 3) == 3  # never exceeds parallelism
+
+
+def test_versioned_sink_commit_width_reaches_files(spark, sf_dir, tmp_path):
+    """The explicit repartition(n, user_id) IS the commit's only shuffle:
+    the keyed argmax reuses its hash partitioning, so each snapshot lands
+    as exactly n part files. A second exchange sneaking in (e.g. an
+    orderBy before the write) would change the file layout and re-shuffle
+    every commit — this pins the single-exchange write path."""
+    from pathlib import Path as P
+
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+    from queue_system_simulator_spark.sources.sink import (
+        write_versioned_snapshots,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    base = str(tmp_path / "ttw")
+    write_versioned_snapshots(
+        ev, base, n_versions=2, tombstone="error", shuffle_partitions=3
+    )
+    for k in (1, 2):
+        n_files = len(list(P(base, f"v{k}").glob("part-*")))
+        assert n_files == 3, f"v{k}: {n_files} part files, expected width 3"
