@@ -122,6 +122,16 @@ def write_versioned_snapshots(
         lo, hi, n_rows = events.agg(
             F.min("tus"), F.max("tus"), F.count(F.lit(1))
         ).first()
+        if n_rows == 0:
+            # empty input has no event-time span to cut commits from, and
+            # an empty parquet snapshot dir (zero part files) would break
+            # read_version's schema inference — fail loudly instead of
+            # writing an unreadable table (A4 empty-input philosophy:
+            # short-circuit explicitly, never crash downstream)
+            raise ValueError(
+                "write_versioned_snapshots: input has no rows — no commit "
+                "cuts can be derived from an empty event-time span"
+            )
         if shuffle_partitions == "auto":
             shuffle_partitions = auto_commit_width(
                 int(n_rows), int(spark.sparkContext.defaultParallelism)

@@ -584,3 +584,24 @@ def test_versioned_sink_commit_width_reaches_files(spark, sf_dir, tmp_path):
     for k in (1, 2):
         n_files = len(list(P(base, f"v{k}").glob("part-*")))
         assert n_files == 3, f"v{k}: {n_files} part files, expected width 3"
+
+
+def test_versioned_sink_rejects_empty_input(spark, tmp_path):
+    """Empty input has no event-time span to derive commit cuts from, and
+    a zero-file parquet snapshot would break read_version's schema
+    inference downstream — the sink must fail loudly up front."""
+    import pytest
+
+    from queue_system_simulator_spark.localframe import local_df
+    from queue_system_simulator_spark.sources.sink import (
+        write_versioned_snapshots,
+    )
+
+    ev = local_df(
+        spark,
+        [],
+        "user_id long, tus long, event_id long, event_type string, "
+        "value_centi long",
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        write_versioned_snapshots(ev, str(tmp_path / "empty"))
