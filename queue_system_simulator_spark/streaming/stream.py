@@ -35,6 +35,32 @@ from queue_system_simulator_spark.localframe import local_df
 from queue_system_simulator_spark.schema import load_table
 
 
+def _sweep_stale_drains(root: Path, ttl_s: int = 7200) -> None:
+    """Best-effort GC of per-invocation drain/merge dirs from FINISHED
+    runs.  An append-mode streaming sink cannot overwrite a reused
+    directory (the retained checkpoint would resume past the source and
+    emit nothing), so every drain writes a fresh uuid dir — and without
+    GC the root grows without bound across bench samples, pytest
+    sessions, and oracle sweeps (the repo's round-6 disk-exhaustion
+    lesson; measured: 873 dirs / 2.1 GB accumulated over rounds 4-8).
+    Only dirs untouched for ``ttl_s`` are removed — far past any live
+    drain's read-back window (drains materialize in seconds) — so a
+    concurrent process's active drain is never touched.  Errors are
+    swallowed: two sweepers racing on the same stale dir is fine."""
+    import shutil
+    import time
+
+    if not root.is_dir():
+        return
+    cutoff = time.time() - ttl_s
+    for d in root.iterdir():
+        try:
+            if d.is_dir() and d.stat().st_mtime < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:  # raced with another sweeper / vanished entry
+            pass
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events table (schema pinned from
     the batch scan — streaming sources require an explicit schema)."""
@@ -406,7 +432,9 @@ def run_available_now(
     try:
         name = f"stream_out_{uuid.uuid4().hex[:12]}"
         if output_mode == "append":
-            out_dir = Path(tempfile.gettempdir()) / "qss_spark_stream_out" / name
+            root = Path(tempfile.gettempdir()) / "qss_spark_stream_out"
+            _sweep_stale_drains(root)
+            out_dir = root / name
             q = (
                 result.writeStream.format("parquet")
                 .option("path", str(out_dir / "data"))
@@ -646,11 +674,9 @@ def run_foreachbatch_merge(keyed: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     spark = keyed.sparkSession
-    base = (
-        Path(tempfile.gettempdir())
-        / "qss_spark_fb_merge"
-        / f"m_{uuid.uuid4().hex[:12]}"
-    )
+    fb_root = Path(tempfile.gettempdir()) / "qss_spark_fb_merge"
+    _sweep_stale_drains(fb_root)
+    base = fb_root / f"m_{uuid.uuid4().hex[:12]}"
     base.mkdir(parents=True, exist_ok=True)
     state = {"v": 0}
     w = Window.partitionBy("user_id").orderBy(

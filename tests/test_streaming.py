@@ -608,3 +608,28 @@ def test_multibatch_split_invalidates_on_source_change(spark, tmp_path):
     n2 = drained_count()
     assert n1 > 0
     assert n2 == n1 // 2  # stale path-keyed cache would return n1 again
+
+
+def test_sweep_stale_drains_is_age_gated(tmp_path):
+    """Drain-dir GC removes only dirs past the TTL: a concurrent
+    process's live drain (fresh mtime) must never be touched."""
+    import os
+    import time
+
+    from queue_system_simulator_spark.streaming.stream import (
+        _sweep_stale_drains,
+    )
+
+    old = tmp_path / "stream_out_old"
+    (old / "data").mkdir(parents=True)
+    (old / "data" / "part-0.parquet").write_bytes(b"x")
+    stale_t = time.time() - 3 * 3600
+    os.utime(old, (stale_t, stale_t))
+    live = tmp_path / "stream_out_live"
+    (live / "data").mkdir(parents=True)
+
+    _sweep_stale_drains(tmp_path, ttl_s=7200)
+    assert not old.exists()
+    assert live.exists()
+    # missing root is a no-op, not an error
+    _sweep_stale_drains(tmp_path / "nonexistent")
