@@ -640,6 +640,23 @@ def stream_events_multibatch(
         / f"n{n_files}_{fingerprint}"
     )
     if not (src / "_SUCCESS").exists():
+        # a cache miss means the source changed (testdata is regenerated
+        # between rounds), so sibling dirs holding OLD fingerprints of
+        # this same split are provably dead — drop them instead of
+        # accumulating one stale split per regeneration
+        import shutil
+
+        if src.parent.is_dir():
+            for d in src.parent.iterdir():
+                if (
+                    d != src
+                    and d.is_dir()
+                    and (
+                        d.name == f"n{n_files}"  # pre-fingerprint legacy
+                        or d.name.startswith(f"n{n_files}_")
+                    )
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
         load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
             "overwrite"
         ).parquet(str(src))

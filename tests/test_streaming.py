@@ -608,6 +608,18 @@ def test_multibatch_split_invalidates_on_source_change(spark, tmp_path):
     n2 = drained_count()
     assert n1 > 0
     assert n2 == n1 // 2  # stale path-keyed cache would return n1 again
+    # the miss also GCs the dead fingerprint: one split dir per source,
+    # not one per regeneration
+    import tempfile
+    from pathlib import Path
+
+    cache_root = (
+        Path(tempfile.gettempdir())
+        / "qss_spark_stream_multi"
+        / str(src_dir).strip("/").replace("/", "_")
+    )
+    splits = [d.name for d in cache_root.iterdir() if d.name.startswith("n2")]
+    assert len(splits) == 1, splits
 
 
 def test_sweep_stale_drains_is_age_gated(tmp_path):
