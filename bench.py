@@ -211,6 +211,9 @@ HEADLINE = [
     # round-8 addition: CDC change-feed read of the versioned sink (same
     # commit chain as time travel + one keyed join per commit pair)
     "versioned_cdc_feed",
+    # round-9 addition: TIMESTAMP AS OF resolved through the commit-log
+    # manifest (shared build-once table; cost is resolve + snapshot read)
+    "time_travel_as_of_timestamp",
 ]
 
 

@@ -543,6 +543,30 @@ def test_versioned_cdc_feed_replays_to_final_version(spark, sf_dir):
         assert value[u] == vc, u
 
 
+def test_as_of_timestamp_resolves_between_cuts(spark, sf_dir):
+    """TIMESTAMP-AS-OF resolution: the probe sits strictly between cut_2
+    and cut_3, so the manifest must resolve it to v2 (latest commit at or
+    before T), and the returned rows must equal that stored snapshot."""
+    from queue_system_simulator_spark.plans import QUERIES
+    from queue_system_simulator_spark.plans.relational_queries import (
+        versioned_table_base,
+    )
+    from queue_system_simulator_spark.sources.sink import read_version
+
+    out = QUERIES["time_travel_as_of_timestamp"].build(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert {r.version for r in rows} == {2}
+    base = versioned_table_base(sf_dir)
+    stored = {
+        (r.user_id, r.event_id, r.value_centi)
+        for r in read_version(spark, base, 2)
+        .select("user_id", "event_id", "value_centi")
+        .collect()
+    }
+    assert {(r.user_id, r.event_id, r.value_centi) for r in rows} == stored
+
+
 def test_auto_commit_width_clamps():
     """'auto' width = one keyed partition per ~250k input rows, clamped to
     [2, parallelism]: fixtures stay narrow, a 100x probe widens itself."""
