@@ -511,6 +511,21 @@ def test_stl_residual_anomalies_consistent(spark, sf_dir):
         assert r["worst_day"] in days[r["event_type"]]
 
 
+def test_as_of_timestamp_read_is_shuffle_free(spark, sf_dir):
+    """TIMESTAMP-AS-OF is a resolve + single pruned snapshot scan: the
+    returned plan must contain no Exchange, no join, and read only the
+    three projected snapshot columns (version is a literal)."""
+    df = QUERIES["time_travel_as_of_timestamp"].build(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    read = plan.split("ReadSchema")[1][:300]
+    for col in ("user_id", "event_id", "value_centi"):
+        assert col in read
+    for absent in ("tus", "event_type"):
+        assert absent not in read
+
+
 def test_retrieval_ndcg_broadcasts_bounded_frames(spark, sf_dir):
     """The two query-set-bounded frames (probed cells, graded truth) must
     broadcast — the corpus-side scored frame never shuffles for a join —

@@ -543,6 +543,61 @@ def test_versioned_cdc_feed_replays_to_final_version(spark, sf_dir):
         assert value[u] == vc, u
 
 
+def test_ensure_versioned_table_rebuilds_on_source_change(spark, tmp_path):
+    """The build-once stamp is a SOURCE fingerprint, not a path check:
+    regenerating the fixture at the same path must rebuild the table
+    (a stale cached build would hash-mismatch against the oracle, which
+    reads the fresh log), and the fresh build must reflect the new data."""
+    import shutil
+    from pathlib import Path
+
+    from queue_system_simulator_spark.plans.relational_queries import (
+        TT_N_VERSIONS,
+        ensure_versioned_table,
+    )
+    from queue_system_simulator_spark.sources.sink import read_version
+
+    src_dir = tmp_path / "sfY"
+    src_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src_dir / "events.parquet"
+    )
+    base = ensure_versioned_table(spark, str(src_dir))
+    before = {
+        (r.user_id, r.event_id)
+        for r in read_version(spark, base, TT_N_VERSIONS).collect()
+    }
+    assert before
+    # regenerate in place with a strictly smaller slice (new mtime_ns +
+    # size -> new fingerprint)
+    half = (
+        spark.read.parquet(str(src_dir / "events.parquet"))
+        .orderBy("event_id")
+        .limit(200)
+        .toPandas()
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (src_dir / "events.parquet").unlink()
+    pq.write_table(
+        pa.Table.from_pandas(half, preserve_index=False),
+        src_dir / "events.parquet",
+    )
+    base2 = ensure_versioned_table(spark, str(src_dir))
+    assert base2 == base  # same path, rebuilt in place
+    after = {
+        (r.user_id, r.event_id)
+        for r in read_version(spark, base, TT_N_VERSIONS).collect()
+    }
+    assert after and after != before  # rebuilt, not served stale
+    # every stored row comes from the regenerated slice (the per-user
+    # latest moved backwards because later events were cut away)
+    slice_ids = set(half["event_id"])
+    assert {eid for _, eid in after} <= slice_ids
+    assert not {eid for _, eid in before} <= slice_ids  # old build had later events
+
+
 def test_as_of_timestamp_resolves_between_cuts(spark, sf_dir):
     """TIMESTAMP-AS-OF resolution: the probe sits strictly between cut_2
     and cut_3, so the manifest must resolve it to v2 (latest commit at or
