@@ -906,18 +906,48 @@ def q_console_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
-    """Fixed per-(tag, dataset) scratch path under the system tmp dir.
+    """Per-(tag, dataset, PROCESS) scratch path under the system tmp dir.
 
-    Sink round-trip queries write here with mode('overwrite'), so repeated
-    bench/correctness runs REUSE one directory instead of accumulating a
-    fresh mkdtemp leftover per build() call (bench times each query 3x).
+    Sink round-trip queries write here with mode('overwrite') and read
+    back lazily, so the dir must be stable WITHIN a process (repeated
+    bench/correctness runs reuse one directory instead of accumulating a
+    fresh mkdtemp leftover per build() call — bench times each query 3x)
+    but private ACROSS processes: a driver grading run and a concurrent
+    bench sample building the same query would otherwise race one
+    non-atomic overwrite rewrite against the other's lazy read-back (the
+    round-8-advice race class, fixed for the versioned lake table by its
+    build-once stamp; round-trip queries rewrite by design — the write IS
+    what the oracle grades — so isolation, not caching, is the fix here).
+    Stale siblings from finished processes are swept under the same 2h
+    mtime TTL the streaming drain GC uses, so the per-pid suffix does not
+    accumulate dirs.
     """
     import hashlib
     import os
+    import shutil
     import tempfile
+    import time
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"qss_{tag}_{h}")
+    prefix = f"qss_{tag}_{h}_p"
+    tmp = tempfile.gettempdir()
+    d = os.path.join(tmp, f"{prefix}{os.getpid()}")
+    cutoff = time.time() - 7200
+    legacy = f"qss_{tag}_{h}"  # pre-pid layout from earlier rounds
+    try:
+        for name in os.listdir(tmp):
+            if (
+                not name.startswith(prefix) and name != legacy
+            ) or name == os.path.basename(d):
+                continue
+            sib = os.path.join(tmp, name)
+            try:
+                if os.path.isdir(sib) and os.stat(sib).st_mtime < cutoff:
+                    shutil.rmtree(sib, ignore_errors=True)
+            except OSError:  # raced with another sweeper / vanished
+                pass
+    except OSError:
+        pass
     os.makedirs(d, exist_ok=True)
     return d
 

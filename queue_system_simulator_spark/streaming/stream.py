@@ -600,6 +600,37 @@ def streaming_latest_upsert(events: DataFrame) -> DataFrame:
     )
 
 
+def _gc_dead_fingerprint_splits(src: Path, n_files: int) -> None:
+    """A cache miss means the source changed (testdata is regenerated
+    between rounds), so sibling dirs holding OLD fingerprints of this
+    same split are dead for THIS process — but a concurrent session that
+    checked ``_SUCCESS`` on an older fingerprint may still be streaming
+    from it, so apply the same mtime TTL gate ``_sweep_stale_drains``
+    uses instead of deleting immediately (a stale split lingers <=2h, it
+    does not accumulate)."""
+    import shutil
+    import time
+
+    cutoff = time.time() - 7200
+    if not src.parent.is_dir():
+        return
+    for d in src.parent.iterdir():
+        try:
+            if d == src or not (
+                d.name == f"n{n_files}"  # pre-fingerprint legacy
+                or d.name.startswith(f"n{n_files}_")
+            ):
+                continue
+            if d.stat().st_mtime >= cutoff:
+                continue
+            if d.is_dir():
+                shutil.rmtree(d, ignore_errors=True)
+            elif d.suffix == ".lock" and d.name != f"{src.name}.lock":
+                d.unlink()  # dead fingerprint's build lock
+        except OSError:  # raced with another sweeper
+            pass
+
+
 def stream_events_multibatch(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
@@ -642,35 +673,25 @@ def stream_events_multibatch(
         / f"n{n_files}_{fingerprint}"
     )
     if not (src / "_SUCCESS").exists():
-        # a cache miss means the source changed (testdata is regenerated
-        # between rounds), so sibling dirs holding OLD fingerprints of
-        # this same split are dead for THIS process — but a concurrent
-        # session that checked _SUCCESS on an older fingerprint may still
-        # be streaming from it, so apply the same mtime TTL gate
-        # _sweep_stale_drains uses instead of deleting immediately (a
-        # stale split lingers <=2h, it does not accumulate)
-        import shutil
-        import time
+        # first build for this fingerprint: take an exclusive flock so
+        # two processes missing the cache together (driver grading +
+        # a concurrent bench sample) serialize instead of racing one
+        # overwrite write into the same dir; the loser re-checks
+        # _SUCCESS and reads the winner's split (same guard as
+        # ensure_versioned_table — the split is immutable once built)
+        import fcntl
 
-        cutoff = time.time() - 7200
-        if src.parent.is_dir():
-            for d in src.parent.iterdir():
-                try:
-                    if (
-                        d != src
-                        and d.is_dir()
-                        and (
-                            d.name == f"n{n_files}"  # pre-fingerprint legacy
-                            or d.name.startswith(f"n{n_files}_")
-                        )
-                        and d.stat().st_mtime < cutoff
-                    ):
-                        shutil.rmtree(d, ignore_errors=True)
-                except OSError:  # raced with another sweeper
-                    pass
-        load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
-            "overwrite"
-        ).parquet(str(src))
+        src.parent.mkdir(parents=True, exist_ok=True)
+        with open(f"{src}.lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if not (src / "_SUCCESS").exists():
+                    _gc_dead_fingerprint_splits(src, n_files)
+                    load_table(spark, sf_dir, "events").repartition(
+                        n_files
+                    ).write.mode("overwrite").parquet(str(src))
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
     schema = spark.read.parquet(str(src)).schema
     return (
         spark.readStream.schema(schema)

@@ -420,6 +420,43 @@ def test_compressed_roundtrip_files_are_actually_compressed(spark, sf_dir):
     assert pq and all("zstd" in os.path.basename(p) for p in pq)
 
 
+def test_scratch_dir_is_process_private_and_sweeps_stale():
+    """Round-trip scratch dirs carry the pid (two concurrent processes
+    building the same query never race one overwrite tree) and stale
+    siblings from finished processes — including the pre-pid legacy
+    layout — are swept under the drain GC's 2h mtime TTL; young siblings
+    (a live peer) are left alone."""
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    from queue_system_simulator_spark.plans.reference_queries import (
+        _scratch_dir,
+    )
+
+    d = Path(_scratch_dir("scratchtest", "/some/sf_dir"))
+    try:
+        assert d.name.endswith(f"_p{os.getpid()}")
+        prefix = d.name.rsplit("_p", 1)[0]
+        stale = d.parent / f"{prefix}_p999999"
+        legacy = d.parent / prefix
+        young = d.parent / f"{prefix}_p999998"
+        for sib in (stale, legacy, young):
+            sib.mkdir(exist_ok=True)
+        old = time.time() - 3 * 3600
+        os.utime(stale, (old, old))
+        os.utime(legacy, (old, old))
+        assert Path(_scratch_dir("scratchtest", "/some/sf_dir")) == d
+        assert not stale.exists()  # aged sibling swept
+        assert not legacy.exists()  # aged pre-pid dir swept
+        assert young.exists()  # fresh sibling (live peer) untouched
+        assert d.exists()  # own dir never touched
+    finally:
+        for sib in (d, d.parent / f"{prefix}_p999998"):
+            shutil.rmtree(sib, ignore_errors=True)
+
+
 def test_xml_roundtrip_preserves_rows(spark, sf_dir):
     from queue_system_simulator_spark.plans.reference_queries import (
         q_xml_roundtrip,

@@ -622,7 +622,11 @@ def test_multibatch_split_invalidates_on_source_change(spark, tmp_path):
         / "qss_spark_stream_multi"
         / str(src_dir).strip("/").replace("/", "_")
     )
-    splits = [d.name for d in cache_root.iterdir() if d.name.startswith("n2")]
+    splits = [
+        d.name
+        for d in cache_root.iterdir()
+        if d.is_dir() and d.name.startswith("n2")
+    ]
     assert len(splits) == 2, splits  # old fingerprint is young -> kept
     # age every split past the TTL, regenerate once more (rewrite bumps
     # mtime_ns -> new fingerprint -> miss): both aged dirs are swept
@@ -636,7 +640,11 @@ def test_multibatch_split_invalidates_on_source_change(spark, tmp_path):
     )
     n3 = drained_count()
     assert n3 == n2
-    splits = [d.name for d in cache_root.iterdir() if d.name.startswith("n2")]
+    splits = [
+        d.name
+        for d in cache_root.iterdir()
+        if d.is_dir() and d.name.startswith("n2")
+    ]
     assert len(splits) == 1, splits
 
 
