@@ -81,12 +81,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # too — exists() follows the link, so a broken link reads as absent
     # while symlink_to still collides (hit with .scale_probe/sf10)
     target = Path(path).resolve()
-    if link.is_symlink() or link.exists():
-        if not (link.is_symlink() and link.resolve() == target):
-            link.unlink()
+    try:
+        if link.is_symlink() or link.exists():
+            if not (link.is_symlink() and link.resolve() == target):
+                link.unlink()
+                link.symlink_to(target)
+        else:
             link.symlink_to(target)
-    else:
-        link.symlink_to(target)
+    except FileExistsError:
+        # two processes recreated a stale link together; accept the
+        # winner's link if it points where ours would have
+        if not (link.is_symlink() and link.resolve() == target):
+            raise
     raw_schema = spark.read.parquet(path).schema  # pre-conversion (ts may be ns-long)
     stream = spark.readStream.schema(raw_schema).format("parquet").load(str(link_dir))
     ts_type = dict(stream.dtypes).get("ts")
