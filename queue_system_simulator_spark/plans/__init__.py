@@ -45,6 +45,11 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: the rest are r10 head-of-queue).  Everything rotated OUT was
 #: driver-green in a prior round and stays registered + locally gated
 #: (COVERAGE_LEDGER.md is the committed snapshot).
+#: Round-10 rotation should ALSO include ``hard_negative_mining`` and
+#: ``embed_knn_graph``: their round-9 quadratic fixes (md5-ranked query
+#: budgets) keep graded-scale outputs byte-identical (hash-verified at
+#: sf0.01 + sf0.1, see COVERAGE_LEDGER.md), but a fresh driver grade on
+#: the changed plans is the bar.
 DRIVER_WINDOW = [
     # --- continuity anchors (green every round r01..r08) ---
     "ingest_requests",
