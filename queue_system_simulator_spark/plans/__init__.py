@@ -45,11 +45,17 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 #: the rest are r10 head-of-queue).  Everything rotated OUT was
 #: driver-green in a prior round and stays registered + locally gated
 #: (COVERAGE_LEDGER.md is the committed snapshot).
-#: Round-10 rotation should ALSO include ``hard_negative_mining`` and
-#: ``embed_knn_graph``: their round-9 quadratic fixes (md5-ranked query
-#: budgets) keep graded-scale outputs byte-identical (hash-verified at
-#: sf0.01 + sf0.1, see COVERAGE_LEDGER.md), but a fresh driver grade on
-#: the changed plans is the bar.
+#: Round-9 in-flight swap: ``hard_negative_mining`` and
+#: ``embed_knn_graph`` took the slots of ``ivf_recall_at_k`` and
+#: ``embed_sq8_quantize``.  Both swapped-IN queries had their plans
+#: changed this round (quadratic fixes: md5-ranked query budgets) —
+#: graded-scale outputs are hash-verified byte-identical to the old
+#: plans (COVERAGE_LEDGER.md), but a fresh driver grade on a CHANGED
+#: plan outranks re-greening an unchanged one.  The two displaced
+#: queries keep r04 greens, unchanged plans, local greens at 3 scales
+#: this round, and fresher family twins (retrieval_ndcg_eval r08 +
+#: ivf_nprobe_sweep r06; sq8_rerank_topk r06); they move to the
+#: round-10 head-of-queue with the other 19 r04-era rows.
 DRIVER_WINDOW = [
     # --- continuity anchors (green every round r01..r08) ---
     "ingest_requests",
@@ -105,8 +111,8 @@ DRIVER_WINDOW = [
     "semdedup_prune",
     "fuzzy_edit_dedup_pairs",
     "ppl_quantile_filter",
-    "embed_sq8_quantize",
-    "ivf_recall_at_k",
+    "hard_negative_mining",
+    "embed_knn_graph",
     "incremental_minhash_candidates",
     "vocab_encode_ids",
     "lsh_recall_eval",
