@@ -19,103 +19,91 @@ from queue_system_simulator_spark.plans import (  # noqa: F401,E402
 )
 
 #: The driver grades exactly the FIRST 50 entries of ``queries()`` in
-#: registration order, so ordering is part of the contract.  Round-9
-#: rotation (VERDICT_r8 items 1 + 5): CORRECTNESS_r08 was 50/50 green,
-#: closing the registry at 257/257 oracle-backed driver-certified; the
-#: only remaining gap is FRESHNESS — 18 queries whose newest green is
-#: r03 and 48 whose newest is r04.  This window keeps the 2 continuity
-#: anchors, grades the round-9 addition
-#: ``time_travel_as_of_timestamp`` (the verdict's item-5 seam:
-#: manifest-resolved TIMESTAMP AS OF; hash-equal locally at
-#: sf0.001/0.01/0.1), re-greens ALL 18 r03-era queries, and fills the
-#: remaining 29 slots with the most judge-salient r04-era greens:
-#: the SURVEY §2 ``fifo_stats`` family pair (the verdict's §2 table
-#: names it rotation-scheduled), the 10 r04-era TPC-H queries +
-#: grouping_sets_revenue, the 3 r04-era source connectors
-#: (pyds_request_log batch + stream, orc_roundtrip — §2 A5 surface),
-#: the UDAF/UDTF API-surface pair, and 11 one-per-family LLM picks.
-#: The 19 r04-era greens deferred to round 10 each have an in-window
-#: or r05+-green family twin (scd2_user_history →
-#: scd2_dimension_build r07; snapshot_diff_user_state →
-#: time_travel_version_diff r08; rollup_revenue / window_topn_orders /
-#: window_function_showcase → grouping_sets_revenue in-window +
-#: cube_part_sales / top_orders_by_revenue r08; priority_sample_ /
-#: quality_rank_by_source → stratified + quality twins in-window;
-#: streaming_join_then_window → three streaming siblings in-window;
-#: the rest are r10 head-of-queue).  Everything rotated OUT was
-#: driver-green in a prior round and stays registered + locally gated
+#: registration order, so ordering is part of the contract.  Round-10
+#: rotation (VERDICT_r9 items 1, 2 + 5): CORRECTNESS_r09 was 50/50
+#: green (cumulative 258/258).  This window keeps the 2 continuity
+#: anchors, grades the round-10 addition ``versioned_retention_vacuum``
+#: (the verdict's item-5 seam: snapshot retention / VACUUM on the
+#: versioned lake — expired dirs deleted, manifest rewritten,
+#: _vacuum_log history kept, loud expired reads; hash-equal locally at
+#: sf0.001/0.01/0.1), re-greens ALL 21 remaining r04-era queries (led
+#: by the two ANN rows the round-9 swap displaced: ``ivf_recall_at_k``,
+#: ``embed_sq8_quantize``; plus the SURVEY-§G window-surface pair
+#: ``window_function_showcase`` + ``skew_salted_user_totals``), and
+#: fills the remaining 26 slots from the oldest (r05-era, 47-row) green
+#: tier with the usual one-per-family spread: relational/TPC-H-adjacent
+#: (anti-join, revenue share, line summary, ties, deciles), product
+#: analytics (cohorts, funnel, sessions, transitions, latest-per-user,
+#: pivot), sketches (CMS, HLL, sliding distinct), dedup family
+#: (keep-best, span removal, minhash/simhash signatures, containment),
+#: ANN family (IVF centroids, IVF-PQ, PQ recall, RRF), the JSONL
+#: connector, k-anonymity, and the perceptual-hash multimodal dedup.
+#: After this round no query's newest green is older than r05 and the
+#: r05 tier shrinks 47 -> 21.  Everything rotated OUT was driver-green
+#: in a prior round and stays registered + locally gated
 #: (COVERAGE_LEDGER.md is the committed snapshot).
-#: Round-9 in-flight swap: ``hard_negative_mining`` and
-#: ``embed_knn_graph`` took the slots of ``ivf_recall_at_k`` and
-#: ``embed_sq8_quantize``.  Both swapped-IN queries had their plans
-#: changed this round (quadratic fixes: md5-ranked query budgets) —
-#: graded-scale outputs are hash-verified byte-identical to the old
-#: plans (COVERAGE_LEDGER.md), but a fresh driver grade on a CHANGED
-#: plan outranks re-greening an unchanged one.  The two displaced
-#: queries keep r04 greens, unchanged plans, local greens at 3 scales
-#: this round, and fresher family twins (retrieval_ndcg_eval r08 +
-#: ivf_nprobe_sweep r06; sq8_rerank_topk r06); they move to the
-#: round-10 head-of-queue with the other 19 r04-era rows.
 DRIVER_WINDOW = [
-    # --- continuity anchors (green every round r01..r08) ---
+    # --- continuity anchors (green every round r01..r09) ---
     "ingest_requests",
     "kernel_fifo_k1",
-    # --- round-9 addition (local-green at 3 scales; VERDICT_r8 item 5:
-    # TIMESTAMP AS OF resolved through the commit-log manifest) ---
-    "time_travel_as_of_timestamp",
-    # --- freshness re-greens: ALL 18 queries whose newest green is r03 ---
-    "user_activity_similarity",
-    "zorder_file_layout",
-    "tpch_q12_priority_by_flag",
-    "tpch_q7_trade_volume",
-    "tpch_q8_market_share",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q9_product_profit",
-    "tfidf_top_terms",
-    "bigram_lm_doc_score",
-    "cluster_aware_split",
-    "multimodal_features_arrow",
-    "multimodal_resize_stats",
-    "streaming_sliding_api_load",
-    "streaming_session_counts",
-    "streaming_dedup_counts",
-    "streaming_enrich_segment_counts",
-    "streaming_interval_join_outer",
-    "streaming_rate_limit",
-    # --- freshness re-greens, r04-era: SURVEY §2 fifo_stats family ---
-    "fifo_stats",
-    "fifo_stats_distributed",
-    # --- freshness re-greens, r04-era: TPC-H + grouping sets ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_late_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_promotable_suppliers",
-    "tpch_q22_dormant_customers",
-    "grouping_sets_revenue",
-    # --- freshness re-greens, r04-era: source connectors (§2 A5) ---
-    "pyds_request_log",
-    "pyds_request_log_stream",
-    "orc_roundtrip",
-    # --- freshness re-greens, r04-era: UDAF/UDTF API surface ---
-    "weighted_value_mean_udaf",
-    "udtf_event_run_lengths",
-    # --- freshness re-greens, r04-era: one-per-family LLM picks ---
-    "gopher_quality_flags",
-    "dup_span_fraction",
-    "pq_adc_topk",
-    "semdedup_prune",
-    "fuzzy_edit_dedup_pairs",
-    "ppl_quantile_filter",
-    "hard_negative_mining",
-    "embed_knn_graph",
-    "incremental_minhash_candidates",
-    "vocab_encode_ids",
-    "lsh_recall_eval",
+    # --- round-10 addition (local-green at 3 scales; VERDICT_r9 item 5:
+    # Delta-VACUUM/Iceberg-expire_snapshots retention on the versioned
+    # lake, manifest-driven read-back, auditable _vacuum_log) ---
+    "versioned_retention_vacuum",
+    # --- freshness re-greens: ALL 21 remaining r04-era queries ---
+    "ivf_recall_at_k",
+    "embed_sq8_quantize",
+    "rollup_revenue",
+    "window_topn_orders",
+    "window_function_showcase",
+    "setops_customer_segments",
+    "scd2_user_history",
+    "snapshot_diff_user_state",
+    "timeseries_gap_fill",
+    "user_event_unpivot",
+    "subquery_rewrites_demo",
+    "skew_salted_user_totals",
+    "streaming_join_then_window",
+    "events_hourly_ohlc",
+    "incremental_rollup_merge",
+    "dq_expectations_report",
+    "embed_outlier_flags",
+    "priority_sample_by_source",
+    "quality_rank_by_source",
+    "stratified_exact_split",
+    "seasonal_naive_forecast_eval",
+    # --- freshness re-greens, r05-era: relational / TPC-H-adjacent ---
+    "customers_without_orders",
+    "nation_revenue_share",
+    "order_line_summary",
+    "topk_with_ties",
+    "order_value_deciles",
+    # --- freshness re-greens, r05-era: product analytics ---
+    "retention_cohorts",
+    "funnel_view_click_purchase",
+    "session_conversion",
+    "event_type_transitions",
+    "latest_event_per_user",
+    "user_event_pivot",
+    # --- freshness re-greens, r05-era: sketches ---
+    "cms_heavy_hitters",
+    "hll_distinct_users",
+    "sliding_distinct_users",
+    # --- freshness re-greens, r05-era: dedup family ---
+    "dedup_keep_best_quality",
+    "dup_span_removal",
+    "minhash_signatures",
+    "simhash_signatures",
+    "ngram_containment_pairs",
+    # --- freshness re-greens, r05-era: ANN family ---
+    "embed_ivf_centroids",
+    "ivf_pq_topk",
+    "pq_recall_at_k",
+    "hybrid_rrf_topk",
+    # --- freshness re-greens, r05-era: connectors / privacy / multimodal ---
+    "jsonl_roundtrip",
+    "k_anon_generalize",
+    "multimodal_ahash_dedup",
 ]
 
 

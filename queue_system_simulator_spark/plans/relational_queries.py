@@ -1786,3 +1786,170 @@ def q_time_travel_as_of_timestamp(
         "event_id",
         "value_centi",
     )
+
+
+# --------------------------------------------------------------------------
+# Retention / VACUUM: expire old snapshots, keep the commit history
+# auditable (the lakehouse lifecycle's missing quarter: write -> CDC feed
+# -> VERSION AS OF -> TIMESTAMP AS OF -> now EXPIRE)
+# --------------------------------------------------------------------------
+#: newest versions kept by the vacuum query's retention policy
+VACUUM_KEEP = 2
+#: bump to invalidate cached vacuum builds when the layout changes
+_VAC_BUILD_FORMAT = 1
+
+
+def _vac_fingerprint(sf_dir: str) -> str:
+    import hashlib
+
+    key = (_VAC_BUILD_FORMAT, VACUUM_KEEP, _tt_fingerprint(sf_dir))
+    return hashlib.md5(repr(key).encode()).hexdigest()
+
+
+def ensure_vacuumed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once guard for the VACUUMED twin of the versioned lake table.
+
+    A separate tree from :func:`ensure_versioned_table`'s: the shared
+    build must keep every version readable (time_travel_version_diff
+    reads v2; the CDC feed walks v1..vN), while this one exists to
+    DELETE old versions — same flock + fingerprint-stamp protocol, so
+    concurrent graders never race the build and the expensive part runs
+    once per source fingerprint."""
+    import fcntl
+    from pathlib import Path
+
+    from queue_system_simulator_spark.sources.sink import (
+        vacuum_versions,
+        write_versioned_snapshots,
+    )
+
+    base = versioned_table_base(sf_dir) + "_vac"
+    fp = _vac_fingerprint(sf_dir)
+    marker = Path(base) / "_BUILT"
+    try:
+        if marker.read_text() == fp:
+            return base
+    except OSError:
+        pass  # no build yet (or stamp vanished mid-read): take the lock
+    Path(base).parent.mkdir(parents=True, exist_ok=True)
+    with open(base + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            try:
+                if marker.read_text() == fp:  # raced: other builder won
+                    return base
+            except OSError:
+                pass
+            marker.unlink(missing_ok=True)  # invalidate BEFORE rewriting
+            import shutil
+
+            # a stale _vacuum_log from a prior-format build would leak
+            # append-mode rows into the fresh history — rebuild clean
+            shutil.rmtree(base, ignore_errors=True)
+            write_versioned_snapshots(
+                _tt_events(spark, sf_dir),
+                base,
+                n_versions=TT_N_VERSIONS,
+                tombstone=TT_TOMBSTONE,
+                shuffle_partitions="auto",
+            )
+            vacuum_versions(spark, base, keep_last=VACUUM_KEEP)
+            marker.write_text(fp)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    return base
+
+
+def _vac_commit_sql(k: int) -> str:
+    """One output row per commit: expired commits report the row count
+    the vacuum log preserved; retained commits report count + exact
+    integer-cent content sum of the still-stored snapshot."""
+    if k <= TT_N_VERSIONS - VACUUM_KEEP:
+        return (
+            f"SELECT CAST({k} AS BIGINT) AS version, 'expired' AS status, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(NULL AS BIGINT) AS value_centi_total FROM s{k}"
+        )
+    return (
+        f"SELECT CAST({k} AS BIGINT) AS version, 'retained' AS status, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(value_centi) AS BIGINT) AS value_centi_total FROM s{k}"
+    )
+
+
+_VACUUM_ORACLE = (
+    """WITH b AS (
+  SELECT min(epoch_us(ts)) AS tmin,
+         max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+  FROM events
+),
+"""
+    + ",\n".join(_cdc_state_cte(k) for k in range(1, TT_N_VERSIONS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        _vac_commit_sql(k) for k in range(1, TT_N_VERSIONS + 1)
+    )
+)
+
+
+@register(
+    "versioned_retention_vacuum",
+    oracle=_VACUUM_ORACLE,
+    description="Snapshot retention / VACUUM on the versioned lake table "
+    "— the lifecycle quarter the lakehouse surface lacked (Delta VACUUM "
+    f"/ Iceberg expire_snapshots): the engine builds a {TT_N_VERSIONS}-"
+    f"commit copy-on-write table, expires all but the newest "
+    f"{VACUUM_KEEP} versions (data dirs physically deleted; _manifest "
+    "rewritten to retained commits; expired commit metadata appended to "
+    "a _vacuum_log so history stays auditable), then reports one row "
+    "per EVER-committed version: expired rows carry the n_rows the "
+    "vacuum log preserved, retained rows carry read-back count + exact "
+    "integer-cent content sum — and the retained read-back is driven "
+    "off the REWRITTEN manifest, so a manifest that wrongly still "
+    "listed an expired version would hit the loud read_version VACUUM "
+    "error and a manifest that dropped a retained one would lose its "
+    "output row. The oracle re-derives every commit's state from the "
+    "raw log, so a green row proves retention deleted exactly what the "
+    "policy names and nothing the policy retains. Expired reads fail "
+    "loudly by name (pytest-gated). Scale: manifest/vacuum-log frames "
+    "are commit-log-length (tiny by construction) — the collect is "
+    "O(log length) commit-protocol sequencing; retained aggregates are "
+    "distributed scans of the stored snapshots; deletes are filesystem "
+    "metadata ops.",
+)
+def q_versioned_retention_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from queue_system_simulator_spark.sources.sink import (
+        read_manifest,
+        read_vacuum_log,
+        read_version,
+    )
+
+    base = ensure_vacuumed_table(spark, sf_dir)
+    expired = read_vacuum_log(spark, base).select(
+        "version",
+        F.lit("expired").alias("status"),
+        "n_rows",
+        F.lit(None).cast("long").alias("value_centi_total"),
+    )
+    # read-back is manifest-driven (not a hardcoded retained set): the
+    # rewritten commit log IS what's under test.  O(log length) collect.
+    retained_versions = sorted(
+        int(r.version) for r in read_manifest(spark, base).collect()
+    )
+    out = expired
+    for k in retained_versions:
+        snap = read_version(spark, base, k)
+        out = out.unionByName(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("value_centi").alias("value_centi_total"),
+            ).select(
+                F.lit(k).cast("long").alias("version"),
+                F.lit("retained").alias("status"),
+                "n_rows",
+                "value_centi_total",
+            )
+        )
+    return out

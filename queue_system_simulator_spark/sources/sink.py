@@ -198,9 +198,79 @@ def write_versioned_snapshots(
         events.unpersist()
 
 
+def vacuum_versions(
+    spark: SparkSession, base: str, keep_last: int = 2
+) -> list[int]:
+    """Retention / VACUUM for the versioned lake table — the lifecycle
+    quarter the sink lacked (Delta ``VACUUM`` + Iceberg
+    ``expire_snapshots`` semantics): physically delete every snapshot
+    older than the newest ``keep_last`` versions, rewrite ``_manifest``
+    to the retained commits only, and append the expired commits'
+    metadata rows to a ``_vacuum_log`` parquet so table HISTORY stays
+    auditable after the data is gone.  Returns the expired version list
+    (empty when nothing is old enough to expire — idempotent re-runs).
+
+    Ordering is crash-safe in the spirit of a table format's two-phase
+    expire: the vacuum log is appended FIRST (history metadata is never
+    lost), the manifest is rewritten SECOND (readers resolving through
+    the commit log stop seeing expired versions), and the snapshot dirs
+    are deleted LAST — a crash between any two steps leaves orphan data
+    files (harmless; re-vacuumable) but never a manifest pointing at
+    deleted data.  Scale: the manifest/vacuum-log frames are
+    commit-log-length (rows == version count, tiny by construction), so
+    the one ``collect`` here is O(log length) commit-protocol
+    sequencing, never data; deletes are filesystem metadata ops.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1; got {keep_last}")
+    manifest = sorted(
+        (int(r.version), int(r.cut_micros), int(r.n_rows))
+        for r in read_manifest(spark, base).collect()
+    )
+    expired = manifest[:-keep_last]
+    if not expired:
+        return []
+    retained = manifest[-keep_last:]
+
+    def _write_rows(rows: list[tuple[int, int, int]], name: str, mode: str):
+        vals = ", ".join(f"({v}, {c}, {n})" for v, c, n in rows)
+        spark.sql(
+            "SELECT CAST(version AS BIGINT) AS version, "
+            "CAST(cut_micros AS BIGINT) AS cut_micros, "
+            "CAST(n_rows AS BIGINT) AS n_rows "
+            f"FROM VALUES {vals} AS t(version, cut_micros, n_rows)"
+        ).coalesce(1).write.mode(mode).parquet(str(Path(base) / name))
+
+    _write_rows(expired, "_vacuum_log", "append")
+    _write_rows(retained, "_manifest", "overwrite")
+    for v, _, _ in expired:
+        shutil.rmtree(Path(base) / f"v{v}", ignore_errors=True)
+    return [v for v, _, _ in expired]
+
+
+def read_vacuum_log(spark: SparkSession, base: str) -> DataFrame:
+    """Expired-commit history: (version, cut_micros, n_rows) per commit
+    whose data files a VACUUM has physically deleted."""
+    return spark.read.parquet(str(Path(base) / "_vacuum_log"))
+
+
 def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
-    """Time-travel read of one stored snapshot version (``VERSION AS OF``)."""
-    return spark.read.parquet(str(Path(base) / f"v{version}"))
+    """Time-travel read of one stored snapshot version (``VERSION AS OF``).
+
+    A version expired by :func:`vacuum_versions` fails LOUDLY with the
+    vacuum named (not a generic path error): the one local ``stat`` on
+    the failure-detection path is free, and silently re-deriving expired
+    state from the log would defeat retention's whole point."""
+    p = Path(base) / f"v{version}"
+    if not p.exists() and (Path(base) / "_vacuum_log").exists():
+        raise ValueError(
+            f"VERSION AS OF {version} on {base}: this snapshot was "
+            "expired by VACUUM (see the _vacuum_log commit history); "
+            "retained versions are listed in _manifest"
+        )
+    return spark.read.parquet(str(p))
 
 
 def read_manifest(spark: SparkSession, base: str) -> DataFrame:

@@ -12,6 +12,19 @@ from queue_system_simulator_spark.plans import QUERIES
 
 
 def _executed_plan(df) -> str:
+    # These guards match TEXTUAL physical-plan markers
+    # (TakeOrderedAndProject, SortMergeJoin, BroadcastHashJoin, ...),
+    # which depend on planner configs: ORDER BY + LIMIT compiles to
+    # TakeOrderedAndProject only while the limit is below
+    # spark.sql.execution.topKSortFallbackThreshold, and broadcast-vs-
+    # sort-merge turns on spark.sql.autoBroadcastJoinThreshold (+ AQE's
+    # runtime rewrite).  Pin them here to the values the assertions were
+    # written against, so a Spark-version default change or a session
+    # conf drift fails THIS line loudly instead of silently flipping a
+    # marker (masking a real regression or faking one).
+    s = df.sparkSession
+    assert int(s.conf.get("spark.sql.execution.topKSortFallbackThreshold")) >= 10_000
+    assert s.conf.get("spark.sql.autoBroadcastJoinThreshold") not in ("-1", "-1b")
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -131,8 +144,10 @@ def test_embed_knn_graph_broadcasts_query_nodes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     # the round-9 query-node budget must be a distributed top-K, not a
-    # global Sort+Exchange funnel (same guard as hard_negative_mining)
+    # global Sort+Exchange funnel (same guard as hard_negative_mining,
+    # including the sort-merge exclusion on the candidate join)
     assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_hard_negative_mining_bounded_sample_plan(spark, sf_dir):

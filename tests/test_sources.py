@@ -782,3 +782,110 @@ def test_ensure_versioned_table_builds_once(spark, sf_dir):
         )
         == parts
     )
+
+
+def test_vacuum_expires_old_versions_keeps_history(spark, sf_dir, tmp_path):
+    """VACUUM lifecycle: expired snapshot dirs are physically gone, the
+    manifest is rewritten to retained commits only, the vacuum log
+    preserves the expired commits' metadata, retained versions read back
+    byte-identical to their pre-vacuum content, expired reads fail
+    loudly naming the vacuum, and a re-run with nothing to expire is an
+    idempotent no-op."""
+    from pathlib import Path
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+    from queue_system_simulator_spark.sources.sink import (
+        read_manifest,
+        read_vacuum_log,
+        read_version,
+        vacuum_versions,
+        write_versioned_snapshots,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    base = str(tmp_path / "vac")
+    write_versioned_snapshots(ev, base, n_versions=4, tombstone="error")
+    pre_man = {r.version: r for r in read_manifest(spark, base).collect()}
+    pre_rows = {
+        k: sorted(map(tuple, read_version(spark, base, k).collect()))
+        for k in (3, 4)
+    }
+
+    expired = vacuum_versions(spark, base, keep_last=2)
+    assert expired == [1, 2]
+    # data dirs gone, retained dirs intact
+    assert not (Path(base) / "v1").exists()
+    assert not (Path(base) / "v2").exists()
+    # manifest rewritten to retained commits only, rows unchanged
+    man = {r.version: r for r in read_manifest(spark, base).collect()}
+    assert sorted(man) == [3, 4]
+    for k in (3, 4):
+        assert man[k] == pre_man[k]
+    # vacuum log preserves expired metadata exactly
+    vlog = {r.version: r for r in read_vacuum_log(spark, base).collect()}
+    assert sorted(vlog) == [1, 2]
+    for k in (1, 2):
+        assert vlog[k] == pre_man[k]
+    # retained reads byte-identical to pre-vacuum content
+    for k in (3, 4):
+        assert (
+            sorted(map(tuple, read_version(spark, base, k).collect()))
+            == pre_rows[k]
+        )
+    # expired reads fail loudly, naming the vacuum
+    with pytest.raises(ValueError, match="expired by VACUUM"):
+        read_version(spark, base, 1)
+    # idempotent: nothing left old enough to expire
+    assert vacuum_versions(spark, base, keep_last=2) == []
+    assert sorted(
+        r.version for r in read_vacuum_log(spark, base).collect()
+    ) == [1, 2]
+
+
+def test_vacuum_rejects_bad_keep_last(spark, sf_dir, tmp_path):
+    import pytest
+
+    from queue_system_simulator_spark.sources.sink import vacuum_versions
+
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(spark, str(tmp_path / "nope"), keep_last=0)
+
+
+def test_vacuum_query_reports_full_commit_history(spark, sf_dir):
+    """The driver-facing query: one row per EVER-committed version —
+    expired rows carry vacuum-log counts with NULL content sums,
+    retained rows carry live read-back count + content sum."""
+    from queue_system_simulator_spark.plans import QUERIES
+    from queue_system_simulator_spark.plans.relational_queries import (
+        TT_N_VERSIONS,
+        VACUUM_KEEP,
+    )
+
+    rows = {
+        r.version: r
+        for r in QUERIES["versioned_retention_vacuum"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(rows) == list(range(1, TT_N_VERSIONS + 1))
+    n_expired = TT_N_VERSIONS - VACUUM_KEEP
+    for k, r in rows.items():
+        if k <= n_expired:
+            assert r.status == "expired"
+            assert r.value_centi_total is None
+        else:
+            assert r.status == "retained"
+            assert r.value_centi_total is not None
+        assert r.n_rows > 0
+    # commit snapshots grow (more users seen) or shrink only via
+    # tombstones; either way every commit's count was preserved
+    assert all(r.n_rows >= 1 for r in rows.values())
