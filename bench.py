@@ -214,6 +214,10 @@ HEADLINE = [
     # round-9 addition: TIMESTAMP AS OF resolved through the commit-log
     # manifest (shared build-once table; cost is resolve + snapshot read)
     "time_travel_as_of_timestamp",
+    # round-10 addition: snapshot retention/VACUUM (own build-once table —
+    # first run pays build+vacuum, repeats time the manifest-driven
+    # read-back of the two retained snapshots)
+    "versioned_retention_vacuum",
 ]
 
 
