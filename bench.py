@@ -218,6 +218,10 @@ HEADLINE = [
     # first run pays build+vacuum, repeats time the manifest-driven
     # read-back of the two retained snapshots)
     "versioned_retention_vacuum",
+    # round-11 addition: OPTIMIZE/compaction (own build-once table — first
+    # run pays build+compaction, repeats time the manifest-driven read-back
+    # of the full commit chain incl. the packed version)
+    "versioned_compaction_optimize",
 ]
 
 

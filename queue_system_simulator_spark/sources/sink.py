@@ -181,21 +181,79 @@ def write_versioned_snapshots(
             snap.write.mode("overwrite").parquet(str(Path(base) / f"v{k}"))
             manifest.append((k, cut, int(obs.get["n"])))
             prev_cut = cut
-        # manifest via a JVM-side VALUES scan: createDataFrame over a
-        # Python list routes through a pickled Python RDD whose write
-        # task pays a Python-worker round trip (~4.5 s measured for 4
-        # rows on this container); the VALUES plan is a LocalTableScan
-        # (~0.2 s) and the literals are trusted ints from this function
-        vals = ", ".join(f"({v}, {c}, {n})" for v, c, n in manifest)
-        spark.sql(
-            "SELECT CAST(version AS BIGINT) AS version, "
-            "CAST(cut_micros AS BIGINT) AS cut_micros, "
-            "CAST(n_rows AS BIGINT) AS n_rows "
-            f"FROM VALUES {vals} AS t(version, cut_micros, n_rows)"
-        ).coalesce(1).write.mode("overwrite").parquet(str(Path(base) / "_manifest"))
+        _commit_manifest_rows(spark, base, manifest)
         return cuts
     finally:
         events.unpersist()
+
+
+def _manifest_values_df(spark: SparkSession, rows: list[tuple[int, int, int]]):
+    """Commit-log rows as a JVM-side VALUES scan: createDataFrame over a
+    Python list routes through a pickled Python RDD whose write task pays
+    a Python-worker round trip (~4.5 s measured for 4 rows on this
+    container); the VALUES plan is a LocalTableScan (~0.2 s) and the
+    literals are trusted ints from the commit protocol."""
+    vals = ", ".join(f"({v}, {c}, {n})" for v, c, n in rows)
+    return spark.sql(
+        "SELECT CAST(version AS BIGINT) AS version, "
+        "CAST(cut_micros AS BIGINT) AS cut_micros, "
+        "CAST(n_rows AS BIGINT) AS n_rows "
+        f"FROM VALUES {vals} AS t(version, cut_micros, n_rows)"
+    )
+
+
+def _recover_manifest_swap(base: str) -> None:
+    """Complete a ``_commit_manifest_rows`` swap a crash interrupted.
+
+    Invariant of the swap protocol: ``_manifest__tmp`` is only ever a
+    FULLY-written new manifest (it is renamed away before the old dir is
+    touched), so when ``_manifest`` is missing the tmp dir is the
+    authoritative newest state and the ``__old`` dir the previous one —
+    prefer tmp, fall back to old.  When ``_manifest`` exists, any
+    leftover tmp/old dirs are stale and removed."""
+    import os
+    import shutil
+
+    final = Path(base) / "_manifest"
+    tmp = Path(base) / "_manifest__tmp"
+    old = Path(base) / "_manifest__old"
+    if not final.exists():
+        if tmp.exists():
+            os.rename(tmp, final)
+        elif old.exists():
+            os.rename(old, final)
+    if final.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _commit_manifest_rows(
+    spark: SparkSession, base: str, rows: list[tuple[int, int, int]]
+) -> None:
+    """Atomically-recoverable commit-log rewrite (the swap Spark's
+    ``mode('overwrite')`` cannot give: that deletes the directory before
+    writing, so a crash mid-rewrite would leave the table with NO
+    readable manifest).  Here the new manifest is fully written to a
+    ``_manifest__tmp`` sibling first, then swapped in with two renames
+    (filesystem metadata ops).  Every crash point is recoverable by
+    :func:`_recover_manifest_swap`, which readers run for free: before
+    the first rename the old manifest is intact; between the renames
+    ``_manifest__tmp`` holds the complete new state and is preferred;
+    after the second only a stale ``__old`` dir remains to sweep."""
+    import os
+    import shutil
+
+    _recover_manifest_swap(base)
+    final = Path(base) / "_manifest"
+    tmp = Path(base) / "_manifest__tmp"
+    old = Path(base) / "_manifest__old"
+    _manifest_values_df(spark, rows).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    if final.exists():
+        os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def vacuum_versions(
@@ -213,10 +271,12 @@ def vacuum_versions(
     Ordering is crash-safe in the spirit of a table format's two-phase
     expire: the vacuum log is appended FIRST (history metadata is never
     lost), the manifest is rewritten SECOND (readers resolving through
-    the commit log stop seeing expired versions), and the snapshot dirs
-    are deleted LAST — a crash between any two steps leaves orphan data
-    files (harmless; re-vacuumable) but never a manifest pointing at
-    deleted data.  Scale: the manifest/vacuum-log frames are
+    the commit log stop seeing expired versions; the rewrite itself is
+    the recoverable tmp-dir rename swap of :func:`_commit_manifest_rows`,
+    never a delete-then-write window), and the snapshot dirs are deleted
+    LAST — a crash between any two steps leaves orphan data files
+    (harmless; re-vacuumable) but never a manifest pointing at deleted
+    data.  Scale: the manifest/vacuum-log frames are
     commit-log-length (rows == version count, tiny by construction), so
     the one ``collect`` here is O(log length) commit-protocol
     sequencing, never data; deletes are filesystem metadata ops.
@@ -234,20 +294,95 @@ def vacuum_versions(
         return []
     retained = manifest[-keep_last:]
 
-    def _write_rows(rows: list[tuple[int, int, int]], name: str, mode: str):
-        vals = ", ".join(f"({v}, {c}, {n})" for v, c, n in rows)
-        spark.sql(
-            "SELECT CAST(version AS BIGINT) AS version, "
-            "CAST(cut_micros AS BIGINT) AS cut_micros, "
-            "CAST(n_rows AS BIGINT) AS n_rows "
-            f"FROM VALUES {vals} AS t(version, cut_micros, n_rows)"
-        ).coalesce(1).write.mode(mode).parquet(str(Path(base) / name))
-
-    _write_rows(expired, "_vacuum_log", "append")
-    _write_rows(retained, "_manifest", "overwrite")
+    _manifest_values_df(spark, expired).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(Path(base) / "_vacuum_log"))
+    _commit_manifest_rows(spark, base, retained)
     for v, _, _ in expired:
         shutil.rmtree(Path(base) / f"v{v}", ignore_errors=True)
     return [v for v, _, _ in expired]
+
+
+def optimize_compact(
+    spark: SparkSession,
+    base: str,
+    target_files: int = 2,
+    sort_within: list[str] | None = None,
+    force: bool = False,
+) -> int | None:
+    """File-layout maintenance for the versioned lake table — the
+    lifecycle quarter after write → CDC → AS-OF → VACUUM (Delta
+    ``OPTIMIZE`` / Iceberg ``rewrite_data_files``): bin-pack the NEWEST
+    retained snapshot into at most ``target_files`` files and commit the
+    rewrite as a new manifest version whose logical content is
+    byte-identical to the pre-compaction read.  The superseded version's
+    files stay on disk until a later :func:`vacuum_versions` expires
+    them — exactly a table format's split of compaction (new commit)
+    from retention (physical delete).
+
+    Layout: ``repartitionByRange(target_files, *sort_within)`` +
+    ``sortWithinPartitions`` when a sort key is given — globally
+    range-clustered files whose parquet min/max footers prune at FILE
+    level on the leading key (``zorder_file_layout`` proves the
+    multi-dimension interleave math; one-dimensional range clustering is
+    the common OPTIMIZE default).  Without a key, a plain
+    ``repartition`` round-robins rows into evenly-sized packed files.
+
+    Idempotent: when the newest snapshot already has at most
+    ``target_files`` part files the call is a no-op returning ``None``
+    (Delta's OPTIMIZE likewise skips already-compacted files), so
+    re-runs never grow the version chain; ``force=True`` skips that
+    short-circuit and rewrites unconditionally (the re-layout path: a
+    small-but-unsorted snapshot still benefits from the range-clustered
+    rewrite, and a build-once table wants the compacted commit to exist
+    at every fixture scale).  Crash-ordered like every
+    commit here: snapshot data is fully written FIRST, the manifest row
+    is committed LAST (via the recoverable
+    :func:`_commit_manifest_rows` swap) — a crash in between orphans an
+    uncommitted ``v{N+1}`` dir that no manifest-driven reader resolves
+    and the next run overwrites.  The rewrite's row count rides the
+    write action (Observation) and is checked against the manifest's
+    ``n_rows`` for the superseded commit — a lost-row rewrite fails
+    loudly instead of committing.  Returns the new version number.
+
+    Scale: one distributed range-shuffle + write of a single snapshot;
+    the driver touches only the commit log (O(log length)) and one
+    directory listing (filesystem metadata).
+    """
+    from pyspark.sql import Observation
+
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1; got {target_files}")
+    manifest = sorted(
+        (int(r.version), int(r.cut_micros), int(r.n_rows))
+        for r in read_manifest(spark, base).collect()
+    )
+    newest_v, newest_cut, newest_n = manifest[-1]
+    src = Path(base) / f"v{newest_v}"
+    n_files = sum(1 for f in src.glob("part-*") if f.is_file())
+    if n_files <= target_files and not force:
+        return None
+    snap = spark.read.parquet(str(src))
+    if sort_within:
+        packed = snap.repartitionByRange(
+            target_files, *sort_within
+        ).sortWithinPartitions(*sort_within)
+    else:
+        packed = snap.repartition(target_files)
+    obs = Observation(f"qss_optimize_v{newest_v + 1}")
+    packed = packed.observe(obs, F.count(F.lit(1)).alias("n"))
+    packed.write.mode("overwrite").parquet(str(Path(base) / f"v{newest_v + 1}"))
+    n_written = int(obs.get["n"])
+    if n_written != newest_n:
+        raise ValueError(
+            f"optimize_compact on {base}: rewrite of v{newest_v} produced "
+            f"{n_written} rows but the manifest records {newest_n} — "
+            "refusing to commit a content-changing compaction"
+        )
+    _commit_manifest_rows(
+        spark, base, manifest + [(newest_v + 1, newest_cut, newest_n)]
+    )
+    return newest_v + 1
 
 
 def read_vacuum_log(spark: SparkSession, base: str) -> DataFrame:
@@ -260,19 +395,31 @@ def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
     """Time-travel read of one stored snapshot version (``VERSION AS OF``).
 
     A version expired by :func:`vacuum_versions` fails LOUDLY with the
-    vacuum named (not a generic path error): the one local ``stat`` on
-    the failure-detection path is free, and silently re-deriving expired
-    state from the log would defeat retention's whole point."""
+    vacuum named (not a generic path error): the ``stat`` + tiny
+    vacuum-log read on the failure-detection path are free, and silently
+    re-deriving expired state from the log would defeat retention's whole
+    point.  The log IS consulted for membership — a never-committed
+    version (``read_version(spark, base, 99)`` on a vacuumed table)
+    falls through to the generic missing-path error instead of being
+    misattributed to VACUUM expiry."""
     p = Path(base) / f"v{version}"
     if not p.exists() and (Path(base) / "_vacuum_log").exists():
-        raise ValueError(
-            f"VERSION AS OF {version} on {base}: this snapshot was "
-            "expired by VACUUM (see the _vacuum_log commit history); "
-            "retained versions are listed in _manifest"
-        )
+        expired = {
+            int(r.version) for r in read_vacuum_log(spark, base).collect()
+        }
+        if int(version) in expired:
+            raise ValueError(
+                f"VERSION AS OF {version} on {base}: this snapshot was "
+                "expired by VACUUM (see the _vacuum_log commit history); "
+                "retained versions are listed in _manifest"
+            )
     return spark.read.parquet(str(p))
 
 
 def read_manifest(spark: SparkSession, base: str) -> DataFrame:
-    """The commit log: (version, cut_micros, n_rows) per retained commit."""
+    """The commit log: (version, cut_micros, n_rows) per retained commit.
+
+    Completes any crash-interrupted manifest swap first (two local
+    ``stat`` calls on the happy path — free)."""
+    _recover_manifest_swap(base)
     return spark.read.parquet(str(Path(base) / "_manifest"))

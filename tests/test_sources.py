@@ -889,3 +889,197 @@ def test_vacuum_query_reports_full_commit_history(spark, sf_dir):
     # commit snapshots grow (more users seen) or shrink only via
     # tombstones; either way every commit's count was preserved
     assert all(r.n_rows >= 1 for r in rows.values())
+
+
+def _tt_events_for_test(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+
+
+def test_optimize_compact_bin_packs_and_commits(spark, sf_dir, tmp_path):
+    """OPTIMIZE lifecycle: the newest snapshot is rewritten into at most
+    target_files range-clustered files, committed as a new
+    data-identical manifest version (same cut, same n_rows), each
+    output file internally sorted on the cluster key; the superseded
+    version's files stay until VACUUM; a re-run is an idempotent no-op;
+    force=True rewrites anyway."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.sources.sink import (
+        optimize_compact,
+        read_manifest,
+        read_version,
+        write_versioned_snapshots,
+    )
+
+    base = str(tmp_path / "opt")
+    write_versioned_snapshots(
+        _tt_events_for_test(spark, sf_dir),
+        base,
+        n_versions=3,
+        tombstone="error",
+        shuffle_partitions=5,  # force a small-file layout to pack
+    )
+    pre_man = {r.version: r for r in read_manifest(spark, base).collect()}
+    pre_rows = sorted(map(tuple, read_version(spark, base, 3).collect()))
+    assert len(list(Path(base, "v3").glob("part-*"))) == 5
+
+    new_v = optimize_compact(
+        spark, base, target_files=2, sort_within=["user_id", "tus"]
+    )
+    assert new_v == 4
+    # bin-packed: file count within bound
+    n_files = len(list(Path(base, "v4").glob("part-*")))
+    assert 1 <= n_files <= 2
+    # superseded files untouched (compaction != retention)
+    assert len(list(Path(base, "v3").glob("part-*"))) == 5
+    # manifest: original rows unchanged + one data-identical commit
+    man = {r.version: r for r in read_manifest(spark, base).collect()}
+    assert sorted(man) == [1, 2, 3, 4]
+    for k in (1, 2, 3):
+        assert man[k] == pre_man[k]
+    assert man[4].cut_micros == pre_man[3].cut_micros
+    assert man[4].n_rows == pre_man[3].n_rows
+    # content byte-identical to the pre-compaction read
+    assert sorted(map(tuple, read_version(spark, base, 4).collect())) == pre_rows
+    # each output file internally sorted on the cluster key (the
+    # parquet min/max pruning contract)
+    per_file = (
+        read_version(spark, base, 4)
+        .select("user_id", "tus", F.input_file_name().alias("f"))
+        .collect()
+    )
+    by_file = {}
+    for r in per_file:
+        by_file.setdefault(r.f, []).append((r.user_id, r.tus))
+    for rows in by_file.values():
+        assert rows == sorted(rows)
+    # idempotent: newest version already within bound -> no-op
+    assert optimize_compact(spark, base, target_files=2) is None
+    assert sorted(
+        r.version for r in read_manifest(spark, base).collect()
+    ) == [1, 2, 3, 4]
+    # force=True rewrites anyway (the re-layout path)
+    assert optimize_compact(spark, base, target_files=2, force=True) == 5
+
+
+def test_optimize_compact_guards(spark, sf_dir, tmp_path):
+    """Loud-fail gates: bad target_files; a rewrite whose row count
+    disagrees with the manifest refuses to commit (simulated by
+    corrupting the manifest's n_rows for the newest commit)."""
+    import pytest
+
+    from queue_system_simulator_spark.sources.sink import (
+        _commit_manifest_rows,
+        optimize_compact,
+        read_manifest,
+        write_versioned_snapshots,
+    )
+
+    base = str(tmp_path / "optbad")
+    write_versioned_snapshots(
+        _tt_events_for_test(spark, sf_dir),
+        base,
+        n_versions=2,
+        tombstone="error",
+        shuffle_partitions=3,
+    )
+    with pytest.raises(ValueError, match="target_files"):
+        optimize_compact(spark, base, target_files=0)
+    rows = sorted(
+        (int(r.version), int(r.cut_micros), int(r.n_rows))
+        for r in read_manifest(spark, base).collect()
+    )
+    rows[-1] = (rows[-1][0], rows[-1][1], rows[-1][2] + 1)
+    _commit_manifest_rows(spark, base, rows)
+    with pytest.raises(ValueError, match="refusing to commit"):
+        optimize_compact(spark, base, target_files=1, force=True)
+    # the refused rewrite left the manifest unextended
+    assert sorted(
+        int(r.version) for r in read_manifest(spark, base).collect()
+    ) == [1, 2]
+
+
+def test_manifest_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """Every crash point of the manifest rename swap is recoverable:
+    mid-swap (_manifest missing, __tmp complete) readers resolve the
+    new state; a stale __tmp next to a live _manifest is swept; and the
+    VACUUM-expiry error is only raised for versions the vacuum log
+    actually expired — a never-committed version gets the generic
+    missing-path error."""
+    import os
+    from pathlib import Path
+
+    import pytest
+
+    from queue_system_simulator_spark.sources.sink import (
+        read_manifest,
+        read_version,
+        vacuum_versions,
+        write_versioned_snapshots,
+    )
+
+    base = str(tmp_path / "swap")
+    write_versioned_snapshots(
+        _tt_events_for_test(spark, sf_dir),
+        base,
+        n_versions=3,
+        tombstone="error",
+        shuffle_partitions=2,
+    )
+    pre = sorted(map(tuple, read_manifest(spark, base).collect()))
+    # crash between the two renames: tmp holds the complete new state
+    os.rename(Path(base) / "_manifest", Path(base) / "_manifest__tmp")
+    assert sorted(map(tuple, read_manifest(spark, base).collect())) == pre
+    assert (Path(base) / "_manifest").exists()
+    assert not (Path(base) / "_manifest__tmp").exists()
+    # crash before the swap started: stale tmp is swept, manifest wins
+    os.mkdir(Path(base) / "_manifest__tmp")
+    assert sorted(map(tuple, read_manifest(spark, base).collect())) == pre
+    assert not (Path(base) / "_manifest__tmp").exists()
+    # VACUUM-expiry error names only genuinely expired versions
+    vacuum_versions(spark, base, keep_last=2)
+    with pytest.raises(ValueError, match="expired by VACUUM"):
+        read_version(spark, base, 1)
+    with pytest.raises(Exception) as exc:
+        read_version(spark, base, 99)
+    assert "expired by VACUUM" not in str(exc.value)
+
+
+def test_optimize_query_reports_commit_chain(spark, sf_dir):
+    """The driver-facing query: one row per manifest version after
+    OPTIMIZE — originals read back from storage, the compacted commit
+    content-equal to the newest original and within its file bound."""
+    from queue_system_simulator_spark.plans import QUERIES
+    from queue_system_simulator_spark.plans.relational_queries import (
+        TT_N_VERSIONS,
+    )
+
+    rows = {
+        r.version: r
+        for r in QUERIES["versioned_compaction_optimize"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    assert sorted(rows) == list(range(1, TT_N_VERSIONS + 2))
+    for k, r in rows.items():
+        if k <= TT_N_VERSIONS:
+            assert r.status == "original"
+            assert r.files_ok is None
+        else:
+            assert r.status == "compacted"
+            assert r.files_ok is True
+    last, packed = rows[TT_N_VERSIONS], rows[TT_N_VERSIONS + 1]
+    assert packed.n_rows == last.n_rows
+    assert packed.value_centi_total == last.value_centi_total
