@@ -651,15 +651,40 @@ GROUP BY o.o_orderpriority
     "per-task hash map, hashing beats sort-merge by skipping both sorts; "
     "the hint is how an operator author encodes that knowledge when "
     "statistics can't see it (the plan guard in tests/test_plans.py "
-    "asserts ShuffledHashJoin is actually chosen).",
+    "asserts ShuffledHashJoin is actually chosen). The hint is "
+    "SIZE-GATED like a stats-based planner's decision: its precondition "
+    "(per-task hashed relation fits the executor's execution-memory "
+    "share) is CHECKED at plan time against the build side's on-disk "
+    "bytes, because a hint that lies at scale is a job-killer — the "
+    "1000x probe showed the forced build OOMing "
+    "(cannotAcquireMemoryToBuildLongHashedRelation) on a 1.7 GB "
+    "compressed / ~15 GB hashed build side, where the ungated plan "
+    "(AQE picks sort-merge) finishes fine. Above the gate the hint is "
+    "simply dropped; results are identical either way.",
 )
 def q_shuffle_hash_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
+    # plan-time stats check (driver-side file metadata walk, no data
+    # read): snappy parquet of narrow key+enum columns decompresses
+    # ~8-10x into unsafe-row hash maps, and all concurrent tasks share
+    # one execution-memory pool — 512 MB on-disk keeps the worst case
+    # (~5 GB hashed across 32 tasks) comfortably inside a 16 GB heap
+    # and scales with the executor count a real cluster would add.
+    src = Path(sf_dir, "orders.parquet")
+    orders_bytes = sum(
+        f.stat().st_size
+        for f in (src.rglob("*") if src.is_dir() else [src])
+        if f.is_file()
+    )
+    if orders_bytes < 512 * 1024 * 1024:
+        orders = orders.hint("shuffle_hash")
     return (
-        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
