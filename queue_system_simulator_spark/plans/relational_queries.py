@@ -31,6 +31,33 @@ _DISC_PRICE_SQL = (
 )
 
 
+def _execution_memory_bytes(spark: SparkSession) -> int:
+    """Per-executor execution-memory share for plan-time join-hint gating
+    (r11 advisor: derive the SHUFFLE_HASH ceiling from the session's real
+    executor sizing instead of a constant tuned to one container).
+
+    heap * spark.memory.fraction * 0.5 — the execution half of the
+    unified pool, conservatively ignoring what it could borrow from
+    storage.  The heap is the live ``Runtime.maxMemory()`` in local mode
+    (executors share the driver JVM, where ``spark.executor.memory`` is
+    ignored) and the ``spark.executor.memory`` conf on a real cluster.
+    """
+    sc = spark.sparkContext
+    conf = sc.getConf()
+    if sc.master.startswith("local"):
+        heap = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    else:
+        mem = conf.get("spark.executor.memory", "1g").strip().lower()
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        heap = (
+            int(float(mem[:-1]) * units[mem[-1]])
+            if mem[-1] in units
+            else int(mem)
+        )
+    frac = float(conf.get("spark.memory.fraction", "0.6"))
+    return int(heap * frac * 0.5)
+
+
 @register(
     "asof_join_purchase",
     oracle="""
@@ -672,16 +699,22 @@ def q_shuffle_hash_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-time stats check (driver-side file metadata walk, no data
     # read): snappy parquet of narrow key+enum columns decompresses
     # ~8-10x into unsafe-row hash maps, and all concurrent tasks share
-    # one execution-memory pool — 512 MB on-disk keeps the worst case
-    # (~5 GB hashed across 32 tasks) comfortably inside a 16 GB heap
-    # and scales with the executor count a real cluster would add.
+    # one execution-memory pool.  The ceiling is derived from THIS
+    # session's executor sizing rather than hardcoded (r11 advisor: a
+    # fixed 512 MB tuned for a 16 GB / 32-slot executor can still OOM a
+    # smaller one): on-disk-bytes * 10 (decompress+hash expansion) must
+    # fit the per-executor execution-memory share, 0.6 * 0.5 * heap
+    # under the unified memory manager's default split.  On this
+    # container (16 GB heap) that lands at ~490 MB on disk, matching
+    # the measured 1000x-probe failure point; on a real cluster the
+    # gate tracks whatever heap the executors actually get.
     src = Path(sf_dir, "orders.parquet")
     orders_bytes = sum(
         f.stat().st_size
         for f in (src.rglob("*") if src.is_dir() else [src])
         if f.is_file()
     )
-    if orders_bytes < 512 * 1024 * 1024:
+    if orders_bytes * 10 < _execution_memory_bytes(spark):
         orders = orders.hint("shuffle_hash")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

@@ -202,15 +202,24 @@ def _manifest_values_df(spark: SparkSession, rows: list[tuple[int, int, int]]):
     )
 
 
-def _recover_manifest_swap(base: str) -> None:
+def _recover_manifest_swap(base: str, sweep: bool = False) -> None:
     """Complete a ``_commit_manifest_rows`` swap a crash interrupted.
 
-    Invariant of the swap protocol: ``_manifest__tmp`` is only ever a
-    FULLY-written new manifest (it is renamed away before the old dir is
-    touched), so when ``_manifest`` is missing the tmp dir is the
-    authoritative newest state and the ``__old`` dir the previous one —
-    prefer tmp, fall back to old.  When ``_manifest`` exists, any
-    leftover tmp/old dirs are stale and removed."""
+    Invariant of the swap protocol: a ``_manifest__tmp`` carrying Spark's
+    ``_SUCCESS`` marker is a FULLY-written new manifest (it is renamed
+    away before the old dir is touched), so when ``_manifest`` is missing
+    a marked tmp dir is the authoritative newest state and the ``__old``
+    dir the previous one — prefer marked tmp, fall back to old.  A tmp
+    WITHOUT the marker is a partial Spark write (possible only on the
+    first-ever commit, where no ``_manifest`` exists yet to protect it)
+    and is never promoted.
+
+    Readers run this rename-only (``sweep=False``): promotion is the two
+    metadata renames above, and stale tmp/old leftovers are left in
+    place — a reader racing a live writer mid-swap must never ``rmtree``
+    a tmp the writer is about to rename (the r11 advisor's race).  Only
+    the writer path (``sweep=True``, serialized by the caller's build
+    lock) sweeps leftovers before starting a fresh swap."""
     import os
     import shutil
 
@@ -218,11 +227,11 @@ def _recover_manifest_swap(base: str) -> None:
     tmp = Path(base) / "_manifest__tmp"
     old = Path(base) / "_manifest__old"
     if not final.exists():
-        if tmp.exists():
+        if tmp.exists() and (tmp / "_SUCCESS").exists():
             os.rename(tmp, final)
         elif old.exists():
             os.rename(old, final)
-    if final.exists():
+    if sweep and final.exists():
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
 
@@ -243,7 +252,7 @@ def _commit_manifest_rows(
     import os
     import shutil
 
-    _recover_manifest_swap(base)
+    _recover_manifest_swap(base, sweep=True)
     final = Path(base) / "_manifest"
     tmp = Path(base) / "_manifest__tmp"
     old = Path(base) / "_manifest__old"
@@ -357,6 +366,11 @@ def optimize_compact(
         (int(r.version), int(r.cut_micros), int(r.n_rows))
         for r in read_manifest(spark, base).collect()
     )
+    if not manifest:
+        raise ValueError(
+            f"optimize_compact on {base}: the manifest records no retained "
+            "commits — nothing to compact (was every version vacuumed?)"
+        )
     newest_v, newest_cut, newest_n = manifest[-1]
     src = Path(base) / f"v{newest_v}"
     n_files = sum(1 for f in src.glob("part-*") if f.is_file())

@@ -978,6 +978,8 @@ def test_optimize_compact_guards(spark, sf_dir, tmp_path):
     """Loud-fail gates: bad target_files; a rewrite whose row count
     disagrees with the manifest refuses to commit (simulated by
     corrupting the manifest's n_rows for the newest commit)."""
+    from pathlib import Path
+
     import pytest
 
     from queue_system_simulator_spark.sources.sink import (
@@ -1009,6 +1011,14 @@ def test_optimize_compact_guards(spark, sf_dir, tmp_path):
     assert sorted(
         int(r.version) for r in read_manifest(spark, base).collect()
     ) == [1, 2]
+    # an empty manifest fails with the module's named-error convention,
+    # not a bare IndexError (r11 advisor)
+    empty = str(tmp_path / "optempty")
+    read_manifest(spark, base).limit(0).coalesce(1).write.parquet(
+        str(Path(empty) / "_manifest")
+    )
+    with pytest.raises(ValueError, match="no retained commits"):
+        optimize_compact(spark, empty, target_files=1)
 
 
 def test_manifest_swap_crash_recovery(spark, sf_dir, tmp_path):
@@ -1038,18 +1048,35 @@ def test_manifest_swap_crash_recovery(spark, sf_dir, tmp_path):
         tombstone="error",
         shuffle_partitions=2,
     )
+    final = Path(base) / "_manifest"
+    tmp = Path(base) / "_manifest__tmp"
     pre = sorted(map(tuple, read_manifest(spark, base).collect()))
     # crash between the two renames: tmp holds the complete new state
-    os.rename(Path(base) / "_manifest", Path(base) / "_manifest__tmp")
+    # (with Spark's _SUCCESS marker) and readers promote it
+    os.rename(final, tmp)
     assert sorted(map(tuple, read_manifest(spark, base).collect())) == pre
-    assert (Path(base) / "_manifest").exists()
-    assert not (Path(base) / "_manifest__tmp").exists()
-    # crash before the swap started: stale tmp is swept, manifest wins
-    os.mkdir(Path(base) / "_manifest__tmp")
+    assert final.exists()
+    assert not tmp.exists()
+    # crash before the swap started: a stale tmp next to a live manifest
+    # is IGNORED by readers (recovery is rename-only — a reader must
+    # never rmtree a dir a live writer is about to rename; r11 advisor)
+    os.mkdir(tmp)
     assert sorted(map(tuple, read_manifest(spark, base).collect())) == pre
-    assert not (Path(base) / "_manifest__tmp").exists()
-    # VACUUM-expiry error names only genuinely expired versions
+    assert tmp.exists()
+    # a tmp WITHOUT the _SUCCESS marker is a partial first-commit write:
+    # never promoted even when no _manifest exists — reads fail loudly
+    # instead of installing a truncated commit log
+    os.rename(final, Path(base) / "_manifest__hold")
+    (tmp / "part-00000-partial.parquet").write_bytes(b"partial")
+    with pytest.raises(Exception):
+        read_manifest(spark, base).collect()
+    assert not final.exists() and tmp.exists()
+    os.rename(Path(base) / "_manifest__hold", final)
+    # ... the stale tmp is swept by the next WRITER commit (vacuum
+    # rewrites the manifest under the build protocol's lock)
     vacuum_versions(spark, base, keep_last=2)
+    assert not tmp.exists()
+    # VACUUM-expiry error names only genuinely expired versions
     with pytest.raises(ValueError, match="expired by VACUUM"):
         read_version(spark, base, 1)
     with pytest.raises(Exception) as exc:
