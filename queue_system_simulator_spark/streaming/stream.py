@@ -606,14 +606,14 @@ def streaming_latest_upsert(events: DataFrame) -> DataFrame:
     )
 
 
-def _gc_dead_fingerprint_splits(src: Path, n_files: int) -> None:
+def _gc_dead_fingerprint_splits(src: Path, prefix: str) -> None:
     """A cache miss means the source changed (testdata is regenerated
     between rounds), so sibling dirs holding OLD fingerprints of this
-    same split are dead for THIS process — but a concurrent session that
-    checked ``_SUCCESS`` on an older fingerprint may still be streaming
-    from it, so apply the same mtime TTL gate ``_sweep_stale_drains``
-    uses instead of deleting immediately (a stale split lingers <=2h, it
-    does not accumulate)."""
+    same split (``{prefix}_{fingerprint}`` names) are dead for THIS
+    process — but a concurrent session that checked the built marker on
+    an older fingerprint may still be streaming from it, so apply the
+    same mtime TTL gate ``_sweep_stale_drains`` uses instead of deleting
+    immediately (a stale split lingers <=2h, it does not accumulate)."""
     import shutil
     import time
 
@@ -623,8 +623,8 @@ def _gc_dead_fingerprint_splits(src: Path, n_files: int) -> None:
     for d in src.parent.iterdir():
         try:
             if d == src or not (
-                d.name == f"n{n_files}"  # pre-fingerprint legacy
-                or d.name.startswith(f"n{n_files}_")
+                d.name == prefix  # pre-fingerprint legacy
+                or d.name.startswith(f"{prefix}_")
             ):
                 continue
             if d.stat().st_mtime >= cutoff:
@@ -692,7 +692,7 @@ def stream_events_multibatch(
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
                 if not (src / "_SUCCESS").exists():
-                    _gc_dead_fingerprint_splits(src, n_files)
+                    _gc_dead_fingerprint_splits(src, f"n{n_files}")
                     load_table(spark, sf_dir, "events").repartition(
                         n_files
                     ).write.mode("overwrite").parquet(str(src))
@@ -780,3 +780,216 @@ def run_foreachbatch_merge(keyed: DataFrame) -> DataFrame:
     if state["v"] == 0:  # empty source: no batch ever fired
         return local_df(spark, [], keyed.schema)
     return spark.read.schema(keyed.schema).parquet(str(base / f"v{state['v']}"))
+
+
+def stream_events_timesliced(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """File-source stream over the events table split into ``n_slices``
+    EVENT-TIME slices, drained one slice per microbatch in time order.
+
+    Where ``stream_events_multibatch`` splits round-robin (for merges
+    whose claim is batching-INdependence), this source makes the batch
+    sequence itself deterministic and log-derivable: slice k holds
+    exactly the events with ``cut_{k-1} <= tus < cut_k`` under the same
+    integer-microsecond cut formula the versioned batch sink uses
+    (``cut_k = tmin + span*k // n``, ``sources/sink.py``
+    write_versioned_snapshots), so a streaming sink that commits one
+    version per microbatch produces a commit chain whose EVERY version
+    is re-derivable from the raw log — the property
+    ``versioned_streaming_sink``'s oracle grades.
+
+    Batch order is enforced physically: each slice is one parquet data
+    file whose mtime is stamped ``t0 + k`` seconds (the file source
+    processes oldest-first under ``latestFirst=false``/default, and
+    sub-millisecond write completions could otherwise tie at the file
+    source's millisecond granularity).  Rows carry the keyed lake
+    projection (user_id, tus, event_id, event_type, value_centi —
+    parity: ``relational_queries._tt_events``).  The split is cached
+    under tempdir keyed by a source fingerprint + flock, same protocol
+    as ``stream_events_multibatch``.  At 100 TB the slicing is fixture
+    plumbing only — a real deployment's Kafka/file source already
+    arrives in event-time order; the sink is the scale path."""
+    import fcntl
+    import os
+    import shutil
+
+    from queue_system_simulator_spark.schema import tune_foreign_session
+
+    tune_foreign_session(spark)
+    src_path = Path(sf_dir) / "events.parquet"
+    stats = sorted(
+        (p.name, st.st_mtime_ns, st.st_size)
+        for p in (src_path.rglob("*") if src_path.is_dir() else [src_path])
+        if p.is_file()
+        for st in [p.stat()]
+    )
+    fingerprint = hashlib.md5(
+        repr((1, n_slices, stats)).encode()
+    ).hexdigest()[:12]
+    src = (
+        Path(tempfile.gettempdir())
+        / "qss_spark_stream_tslice"
+        / sf_dir.strip("/").replace("/", "_")
+        / f"ts{n_slices}_{fingerprint}"
+    )
+    marker = src / "_BUILT"  # _-prefixed: hidden from the file source
+    if not marker.exists():
+        src.parent.mkdir(parents=True, exist_ok=True)
+        with open(f"{src}.lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if not marker.exists():
+                    _gc_dead_fingerprint_splits(src, f"ts{n_slices}")
+                    shutil.rmtree(src, ignore_errors=True)
+                    keyed = load_table(spark, sf_dir, "events").select(
+                        "user_id",
+                        F.unix_micros("ts").alias("tus"),
+                        "event_id",
+                        "event_type",
+                        F.round(F.col("value") * 100)
+                        .cast("long")
+                        .alias("value_centi"),
+                    )
+                    keyed.persist()
+                    try:
+                        lo, hi = keyed.agg(
+                            F.min("tus"), F.max("tus")
+                        ).first()
+                        span = int(hi) - int(lo) + 1
+                        cuts = [
+                            int(lo) + (span * k) // n_slices
+                            for k in range(1, n_slices + 1)
+                        ]
+                        src.mkdir(parents=True, exist_ok=True)
+                        t0 = int(Path(src).stat().st_mtime)
+                        prev = int(lo)
+                        for k, cut in enumerate(cuts, start=1):
+                            part = src / f"_stage_{k}"
+                            keyed.filter(
+                                (F.col("tus") >= prev) & (F.col("tus") < cut)
+                            ).coalesce(1).write.mode("overwrite").parquet(
+                                str(part)
+                            )
+                            (data,) = [
+                                f
+                                for f in part.glob("part-*")
+                                if f.is_file()
+                            ]
+                            dst = src / f"slice-{k:02d}.parquet"
+                            os.rename(data, dst)
+                            shutil.rmtree(part, ignore_errors=True)
+                            os.utime(dst, (t0 + k, t0 + k))
+                            prev = cut
+                    finally:
+                        keyed.unpersist()
+                    marker.write_text(fingerprint)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+    schema = spark.read.parquet(str(src / "slice-01.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def run_streaming_versioned_commits(
+    keyed: DataFrame,
+    base: str,
+    tombstone: str = "error",
+    _fail_before_commit=None,
+    _fail_after_commit=None,
+) -> None:
+    """Streaming writer INTO the versioned lake table — the Delta
+    streaming-sink shape (``writeStream.foreachBatch`` + ``txnVersion``
+    idempotency): every microbatch is committed as a NEW manifest
+    version of the copy-on-write table that
+    ``sources/sink.py::write_versioned_snapshots`` builds in batch, so
+    batch and streaming writers produce the SAME table surface
+    (read_version / read_manifest / CDC / AS-OF / VACUUM / OPTIMIZE all
+    apply unchanged).
+
+    Per batch: merge the batch into the previous snapshot (keyed argmax
+    on the (tus, event_id) total order, tombstone filter — the
+    incremental MERGE of the batch sink), write ``v{batch_id+1}`` data
+    files FIRST, commit the manifest row LAST through the recoverable
+    rename swap (``_commit_manifest_rows``).  Exactly-once under both
+    crash points, the table-format discipline:
+
+    * crash AFTER data, BEFORE manifest commit — the orphan v{k} dir is
+      invisible to manifest-driven readers; Structured Streaming
+      replays the batch from the checkpoint and the rewrite+commit
+      lands once (mode=overwrite on the orphan).
+    * crash AFTER manifest commit, BEFORE the checkpoint records the
+      batch — the replayed batch sees its version already in the
+      manifest (``version = batch_id + 1``, Delta's foreachBatch
+      txnVersion pattern) and returns without touching the table.
+
+    The version base is re-derived from the MANIFEST every batch, never
+    from driver memory, so a restarted query continues the same chain.
+    ``_fail_*`` hooks are crash-injection points for the ordering tests
+    only.  Scale: each batch is one keyed shuffle + snapshot write
+    (identical to the batch sink's per-commit work); the driver touches
+    only the O(chain length) commit log.  Expects the lake projection
+    ``user_id, tus, event_id, event_type, value_centi``."""
+    from pyspark.sql import Observation
+
+    from queue_system_simulator_spark.sources.sink import (
+        _commit_manifest_rows,
+        read_manifest,
+    )
+
+    schema = keyed.schema
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        v = int(batch_id) + 1
+        try:
+            manifest = sorted(
+                (int(r.version), int(r.cut_micros), int(r.n_rows))
+                for r in read_manifest(s, base).collect()
+            )
+        except Exception:  # first-ever commit: no manifest yet
+            manifest = []
+        if manifest and manifest[-1][0] >= v:
+            return  # replay of an already-committed batch: no-op
+        prev_cut = manifest[-1][1] if manifest else 0
+        merged = batch_df
+        if v > 1:
+            prev = s.read.schema(schema).parquet(str(Path(base) / f"v{v - 1}"))
+            merged = prev.unionByName(batch_df)
+        obs_in = Observation(f"qss_svs_in_v{v}")
+        # watermark observed PRE-filter (a tombstone can carry the max)
+        merged = merged.observe(obs_in, F.max("tus").alias("hi"))
+        snap = (
+            merged.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("tus", "event_id", "event_type", "value_centi"),
+                    F.struct("tus", "event_id"),
+                ).alias("s")
+            )
+            .select(
+                "user_id", "s.tus", "s.event_id", "s.event_type", "s.value_centi"
+            )
+            .filter(F.col("event_type") != tombstone)
+        )
+        obs_out = Observation(f"qss_svs_out_v{v}")
+        snap = snap.observe(obs_out, F.count(F.lit(1)).alias("n"))
+        snap.write.mode("overwrite").parquet(str(Path(base) / f"v{v}"))
+        hi = obs_in.get["hi"]
+        cut = max(prev_cut, int(hi) + 1) if hi is not None else prev_cut
+        if _fail_before_commit is not None:
+            _fail_before_commit(v)
+        _commit_manifest_rows(s, base, manifest + [(v, cut, int(obs_out.get["n"]))])
+        if _fail_after_commit is not None:
+            _fail_after_commit(v)
+
+    q = (
+        keyed.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(Path(base) / "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

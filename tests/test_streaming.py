@@ -671,3 +671,127 @@ def test_sweep_stale_drains_is_age_gated(tmp_path):
     assert live.exists()
     # missing root is a no-op, not an error
     _sweep_stale_drains(tmp_path / "nonexistent")
+
+
+def _svs_chain(spark, base):
+    """(version -> (n_rows, value_centi_total)) read back from storage."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.sources.sink import (
+        read_manifest,
+        read_version,
+    )
+
+    chain = {}
+    for r in read_manifest(spark, base).collect():
+        v = int(r.version)
+        n, s = (
+            read_version(spark, base, v)
+            .agg(F.count(F.lit(1)), F.coalesce(F.sum("value_centi"), F.lit(0)))
+            .first()
+        )
+        chain[v] = (int(n), int(s), int(r.n_rows))
+    return chain
+
+
+def test_streaming_versioned_sink_crash_ordering(spark, sf_dir, tmp_path):
+    """Exactly-once manifest commits under crashes on EITHER side of the
+    commit point, and chain parity with the batch writer:
+
+    * clean streamed chain == write_versioned_snapshots chain, version
+      by version (the streaming sink and the batch sink build the same
+      lake table);
+    * crash AFTER data write, BEFORE manifest commit → the orphan
+      v-dir is invisible to manifest readers; the restarted query
+      replays the batch and commits once;
+    * crash AFTER manifest commit, BEFORE the checkpoint records the
+      batch → the replayed batch sees its version committed
+      (txnVersion idempotency) and no-ops — the chain never
+      double-commits."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from queue_system_simulator_spark.sources.sink import (
+        read_manifest,
+        write_versioned_snapshots,
+    )
+    from queue_system_simulator_spark.streaming.stream import (
+        run_streaming_versioned_commits,
+        stream_events_timesliced,
+    )
+
+    def keyed():
+        return stream_events_timesliced(spark, sf_dir, n_slices=4)
+
+    # --- clean streamed chain vs the batch-written equivalent ---
+    clean = str(tmp_path / "clean")
+    run_streaming_versioned_commits(keyed(), clean, tombstone="error")
+    clean_chain = _svs_chain(spark, clean)
+    assert sorted(clean_chain) == [1, 2, 3, 4]
+    # manifest n_rows agrees with the stored data it points at
+    assert all(n == m for n, _, m in clean_chain.values())
+    batch = str(tmp_path / "batch")
+    write_versioned_snapshots(
+        _svs_batch_input(spark, sf_dir),
+        batch,
+        n_versions=4,
+        tombstone="error",
+        shuffle_partitions=2,
+    )
+    assert _svs_chain(spark, batch) == clean_chain
+
+    # --- crash between data write and manifest commit ---
+    crashed = {"n": 0}
+
+    def boom_before(v):
+        if v == 3 and crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash before manifest commit")
+
+    b1 = str(tmp_path / "before")
+    with pytest.raises(StreamingQueryException):
+        run_streaming_versioned_commits(
+            keyed(), b1, tombstone="error", _fail_before_commit=boom_before
+        )
+    committed = sorted(
+        int(r.version) for r in read_manifest(spark, b1).collect()
+    )
+    assert committed == [1, 2]  # v3 data is an orphan, not committed
+    run_streaming_versioned_commits(keyed(), b1, tombstone="error")
+    assert _svs_chain(spark, b1) == clean_chain
+
+    # --- crash after manifest commit, before checkpoint ---
+    crashed2 = {"n": 0}
+
+    def boom_after(v):
+        if v == 3 and crashed2["n"] == 0:
+            crashed2["n"] += 1
+            raise RuntimeError("injected crash after manifest commit")
+
+    b2 = str(tmp_path / "after")
+    with pytest.raises(StreamingQueryException):
+        run_streaming_versioned_commits(
+            keyed(), b2, tombstone="error", _fail_after_commit=boom_after
+        )
+    committed = sorted(
+        int(r.version) for r in read_manifest(spark, b2).collect()
+    )
+    assert committed == [1, 2, 3]  # v3 COMMITTED; checkpoint is behind
+    run_streaming_versioned_commits(keyed(), b2, tombstone="error")
+    assert _svs_chain(spark, b2) == clean_chain  # no double-commit
+
+
+def _svs_batch_input(spark, sf_dir):
+    """The batch sink's input: same keyed projection the time-sliced
+    stream carries (relational_queries._tt_events parity)."""
+    from pyspark.sql import functions as F
+
+    from queue_system_simulator_spark.schema import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
