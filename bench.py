@@ -222,6 +222,7 @@ HEADLINE = [
     # run pays build+compaction, repeats time the manifest-driven read-back
     # of the full commit chain incl. the packed version)
     "versioned_compaction_optimize",
+    "versioned_streaming_sink",
 ]
 
 
