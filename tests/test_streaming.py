@@ -795,3 +795,63 @@ def _svs_batch_input(spark, sf_dir):
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_centi"),
     )
+
+
+def test_streamed_table_is_first_class_lake_table(spark, sf_dir, tmp_path):
+    """The STREAM-written versioned table composes with the whole batch
+    lake lifecycle: OPTIMIZE bin-packs its newest snapshot into a
+    content-identical new version, VACUUM expires old versions with
+    auditable history, time-travel reads resolve retained versions and
+    fail loudly on expired ones — no operation knows (or cares) which
+    writer built the chain."""
+    import pytest
+
+    from queue_system_simulator_spark.sources.sink import (
+        optimize_compact,
+        read_manifest,
+        read_vacuum_log,
+        read_version,
+        vacuum_versions,
+    )
+    from queue_system_simulator_spark.streaming.stream import (
+        run_streaming_versioned_commits,
+        stream_events_timesliced,
+    )
+
+    base = str(tmp_path / "lake")
+    run_streaming_versioned_commits(
+        stream_events_timesliced(spark, sf_dir, n_slices=4),
+        base,
+        tombstone="error",
+    )
+    pre = _svs_chain(spark, base)
+    assert sorted(pre) == [1, 2, 3, 4]
+
+    # OPTIMIZE: content-identical compacted commit v5 appended
+    v5 = optimize_compact(
+        spark, base, target_files=2, sort_within=["user_id", "tus"], force=True
+    )
+    assert v5 == 5
+    post = _svs_chain(spark, base)
+    assert post[5][:2] == pre[4][:2]  # same (n_rows, value sum) as v4
+    n_files = sum(
+        1
+        for f in (tmp_path / "lake" / "v5").glob("part-*")
+        if f.is_file()
+    )
+    assert n_files <= 2
+
+    # VACUUM: expire all but the newest 2; history stays auditable
+    expired = vacuum_versions(spark, base, keep_last=2)
+    assert expired == [1, 2, 3]
+    assert sorted(
+        int(r.version) for r in read_manifest(spark, base).collect()
+    ) == [4, 5]
+    assert sorted(
+        int(r.version) for r in read_vacuum_log(spark, base).collect()
+    ) == [1, 2, 3]
+
+    # time travel: retained resolves, expired fails loudly by name
+    assert read_version(spark, base, 4).count() == pre[4][0]
+    with pytest.raises(ValueError, match="expired by VACUUM"):
+        read_version(spark, base, 2)
