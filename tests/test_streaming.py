@@ -855,3 +855,64 @@ def test_streamed_table_is_first_class_lake_table(spark, sf_dir, tmp_path):
     assert read_version(spark, base, 4).count() == pre[4][0]
     with pytest.raises(ValueError, match="expired by VACUUM"):
         read_version(spark, base, 2)
+
+
+def test_streaming_versioned_sink_crash_edges(spark, sf_dir, tmp_path):
+    """The two boundary crash points: the FIRST-ever commit (no
+    _manifest exists yet to protect a partial swap — the r11 advisor's
+    blind-promotion scenario) and the LAST batch (replay after the
+    final commit must no-op and the drain must still terminate)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from queue_system_simulator_spark.sources.sink import read_manifest
+    from queue_system_simulator_spark.streaming.stream import (
+        run_streaming_versioned_commits,
+        stream_events_timesliced,
+    )
+
+    def keyed():
+        return stream_events_timesliced(spark, sf_dir, n_slices=4)
+
+    clean = str(tmp_path / "clean")
+    run_streaming_versioned_commits(keyed(), clean, tombstone="error")
+    clean_chain = _svs_chain(spark, clean)
+
+    # crash before the FIRST manifest commit: the table has v1 data but
+    # no commit log at all; the restarted drain recommits from scratch
+    hits = {"n": 0}
+
+    def boom_v1(v):
+        if v == 1 and hits["n"] == 0:
+            hits["n"] += 1
+            raise RuntimeError("injected crash before first commit")
+
+    b = str(tmp_path / "first")
+    with pytest.raises(StreamingQueryException):
+        run_streaming_versioned_commits(
+            keyed(), b, tombstone="error", _fail_before_commit=boom_v1
+        )
+    with pytest.raises(Exception):  # no manifest was ever committed
+        read_manifest(spark, b).collect()
+    run_streaming_versioned_commits(keyed(), b, tombstone="error")
+    assert _svs_chain(spark, b) == clean_chain
+
+    # crash after the LAST commit: the replayed final batch no-ops and
+    # the availableNow drain still terminates with the full chain
+    hits2 = {"n": 0}
+
+    def boom_v4(v):
+        if v == 4 and hits2["n"] == 0:
+            hits2["n"] += 1
+            raise RuntimeError("injected crash after last commit")
+
+    b2 = str(tmp_path / "last")
+    with pytest.raises(StreamingQueryException):
+        run_streaming_versioned_commits(
+            keyed(), b2, tombstone="error", _fail_after_commit=boom_v4
+        )
+    assert sorted(
+        int(r.version) for r in read_manifest(spark, b2).collect()
+    ) == [1, 2, 3, 4]
+    run_streaming_versioned_commits(keyed(), b2, tombstone="error")
+    assert _svs_chain(spark, b2) == clean_chain
