@@ -595,7 +595,6 @@ FROM sim WHERE rn > 0
 )
 def q_kernel_api_rotation_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy((F.unix_micros("ts") / 1_000_000).cast("long"), "event_id")
     df = (
         ev.select(
             F.lit("g").alias("run"),
@@ -605,15 +604,18 @@ def q_kernel_api_rotation_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sim_arrival_time"),
             F.round(F.col("value")).cast("double").alias("processing_time"),
-            F.row_number().over(w).alias("rn"),
         )
         # the run is ONE inherently-sequential global group (a shared
         # limiter cannot parallelize); bound it to a deterministic
         # 2500-event prefix so the lockstep recursive oracle stays
         # O(prefix^2) cheap — the kernel's scale axis is many groups,
-        # not one long one
-        .filter(F.col("rn") <= 2500)
-        .drop("rn")
+        # not one long one.  orderBy+limit plans as TakeOrderedAndProject
+        # (distributed per-partition top-K merged on the driver); the
+        # previous row_number prefix was an UNPARTITIONED window that
+        # single-partition-sorted the whole table — caught by WindowExec's
+        # warning on the 1 B-row probe (round 12)
+        .orderBy("sim_arrival_time", "seq")
+        .limit(2500)
     )
     params = SimParams(
         num_workers=1, queue_mode="fifo", queue_max_size=None,
