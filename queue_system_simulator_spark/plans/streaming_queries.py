@@ -97,7 +97,16 @@ GROUP BY user_id, sid
 )
 def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
-    return run_available_now(session_counts(stream))
+    # per-user-session state AND result are CORPUS-sized (one row/state
+    # per burst), not a small bounded domain: drain complete mode
+    # through the distributed foreachBatch parquet sink and put the
+    # session state in RocksDB — the in-heap state map + memory-sink
+    # materialization each OOMed the 1 B-row probe (~40 M sessions)
+    return run_available_now(
+        session_counts(stream),
+        distributed_complete=True,
+        rocksdb_state=True,
+    )
 
 
 @register(

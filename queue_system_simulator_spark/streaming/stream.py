@@ -414,6 +414,8 @@ def run_available_now(
     result: DataFrame,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    distributed_complete: bool = False,
+    rocksdb_state: bool = False,
 ) -> DataFrame:
     """Drain a streaming query with Trigger.AvailableNow and return the
     materialized result.
@@ -423,6 +425,27 @@ def run_available_now(
     executors write in parallel and the return stays lazy, where the memory
     sink would serialize every row through the driver (at scale the parquet
     path IS the deployment shape: stream → datalake files).
+
+    ``distributed_complete=True`` routes a COMPLETE-mode drain through
+    ``foreachBatch`` + a parquet overwrite instead of the memory sink:
+    each trigger rewrites the full current result with a distributed
+    write, and the final batch leaves the final result on disk.  Use it
+    whenever a complete-mode result is CORPUS-SIZED rather than a small
+    aggregate — the memory sink materializes every result row in the
+    single JVM, which the 1 B-row probe measured to a heap OOM on the
+    per-user-session frame (~40 M rows) while the distributed drain
+    completes.  Semantics are identical; only the sink topology changes.
+
+    ``rocksdb_state=True`` scopes the RocksDB state-store provider to
+    this drain (restored after): the default HDFSBackedStateStore keeps
+    every partition's state map IN HEAP, which the 1 B-row probe
+    measured to an executor OOM on the per-user-session aggregation
+    (~40 M live session states in a 16 GB JVM); RocksDB spills state to
+    local disk with a bounded block cache — the provider every
+    large-state streaming deployment runs.  Use it when the stateful
+    KEY DOMAIN scales with the corpus (per-user/per-session state);
+    leave the in-heap default for small bounded domains, where it is
+    faster.
 
     ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to this
     drain (restored after).  Stateful operators build one state store per
@@ -437,8 +460,35 @@ def run_available_now(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    _provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(_provider_key, None)
+    if rocksdb_state:
+        spark.conf.set(
+            _provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         name = f"stream_out_{uuid.uuid4().hex[:12]}"
+        if output_mode == "complete" and distributed_complete:
+            root = Path(tempfile.gettempdir()) / "qss_spark_stream_out"
+            _sweep_stale_drains(root)
+            out_dir = root / name
+
+            def overwrite_batch(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("overwrite").parquet(str(out_dir / "data"))
+
+            q = (
+                result.writeStream.foreachBatch(overwrite_batch)
+                .option("checkpointLocation", str(out_dir / "ckpt"))
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return result.sparkSession.read.schema(result.schema).parquet(
+                str(out_dir / "data")
+            )
         if output_mode == "append":
             root = Path(tempfile.gettempdir()) / "qss_spark_stream_out"
             _sweep_stale_drains(root)
@@ -467,6 +517,11 @@ def run_available_now(
     finally:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if rocksdb_state:
+            if prev_provider is None:
+                spark.conf.unset(_provider_key)
+            else:
+                spark.conf.set(_provider_key, prev_provider)
 
 
 RATE_LIMIT_OUTPUT = (
