@@ -354,7 +354,13 @@ def simulate(
         return res[[c for c in out_schema.names]]
 
     if shards is None:
-        return df.groupBy(*group_cols).applyInPandas(run_one, out_schema)
+        # pin the Python stage's partition count (see below for why)
+        slots = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+        return (
+            df.repartition(slots, *group_cols)
+            .groupBy(*group_cols)
+            .applyInPandas(run_one, out_schema)
+        )
 
     shard_col = "__kernel_shard"
     sharded = df.withColumn(
@@ -369,7 +375,21 @@ def simulate(
         ]
         return pd.concat(outs, ignore_index=True)
 
-    return sharded.groupBy(shard_col).applyInPandas(run_shard, out_schema)
+    # Explicit repartition(shards, shard_col) pins the Python stage's
+    # partition count: a bare groupBy's exchange is AQE-coalesced by BYTES
+    # (advisory/minPartitionSize), which is the wrong proxy for the
+    # CPU-bound DES work behind it — measured at sf0.1: the 2.6 MB kernel
+    # shuffle coalesced to 2 post-shuffle partitions, serializing 64
+    # shards' simulations onto 2 cores (guide §2: partitioning must match
+    # the compute distribution, not the byte distribution).  The count is
+    # the shards parameter itself — already scale-adaptive (callers size
+    # it ~2x cores) — and hashpartitioning(shard_col, shards) satisfies
+    # the groupBy's clustering requirement, so no second exchange.
+    return (
+        sharded.repartition(shards, shard_col)
+        .groupBy(shard_col)
+        .applyInPandas(run_shard, out_schema)
+    )
 
 
 def simulate_sweep(
@@ -414,4 +434,12 @@ def simulate_sweep(
                 res.insert(0, c, v)
         return res[[c for c in out_schema.names]]
 
-    return df.groupBy(*group_cols).applyInPandas(run_group, out_schema)
+    # same Python-stage partition pinning as simulate(): the sweep's groups
+    # ARE the parallelism axis — never let byte-based AQE coalescing pack
+    # them onto a couple of cores
+    slots = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+    return (
+        df.repartition(slots, *group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(run_group, out_schema)
+    )

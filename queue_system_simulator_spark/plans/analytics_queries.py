@@ -2801,24 +2801,29 @@ def q_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cogroup_click_context(keys, clicks, purchases):
-    """CoGroupedMap kernel: per user, annotate each purchase with its
-    preceding-click context. Runs once per user with BOTH groups as
-    pandas frames — the two-sided analog of the DES kernel's
-    applyInPandas contract."""
+    """CoGroupedMap kernel: annotate each purchase with its preceding-click
+    context — the two-sided analog of the DES kernel's applyInPandas
+    contract.
+
+    The cogroup key is a HASH SHARD of the user, not the user itself:
+    with one group per user the per-group overhead (two Arrow streams +
+    two pandas frames per invocation, measured ~3.7 ms/group) dominates
+    the numpy work by orders of magnitude (guide §4: the Python boundary
+    is per-crossing cost; cross it per shard, not per key).  Each shard
+    carries many users; the kernel segments both frames by user with
+    sorted numpy slices — per-user results are identical to the per-user
+    kernel because every user's rows land in exactly one shard."""
     import numpy as np
     import pandas as pd
 
-    user_id = keys[0]
-    user_id = user_id.item() if hasattr(user_id, "item") else user_id
+    out_cols = [
+        "user_id",
+        "purchase_event_id",
+        "n_clicks_before",
+        "last_click_gap_us",
+    ]
     if purchases.empty:
-        return pd.DataFrame(
-            columns=[
-                "user_id",
-                "purchase_event_id",
-                "n_clicks_before",
-                "last_click_gap_us",
-            ]
-        )
+        return pd.DataFrame(columns=out_cols)
     if "tus" not in purchases.columns or "tus" not in clicks.columns:
         # Catalyst prunes the cogroup children down to the grouping key
         # when no output column is consumed (e.g. a bare count()): the
@@ -2826,37 +2831,50 @@ def _cogroup_click_context(keys, clicks, purchases):
         # one row per purchase regardless of values — so emit the correct
         # row count with null payloads instead of crashing on the pruned
         # frames. Any action that reads values gets unpruned inputs.
-        out = pd.DataFrame(
+        na = pd.array([pd.NA] * len(purchases), dtype="Int64")
+        return pd.DataFrame(
             {
-                "user_id": np.int64(user_id),
-                "purchase_event_id": pd.array(
-                    [pd.NA] * len(purchases), dtype="Int64"
-                ),
-                "n_clicks_before": pd.array(
-                    [pd.NA] * len(purchases), dtype="Int64"
-                ),
-                "last_click_gap_us": pd.array(
-                    [pd.NA] * len(purchases), dtype="Int64"
-                ),
+                "user_id": na,
+                "purchase_event_id": na,
+                "n_clicks_before": na,
+                "last_click_gap_us": na,
             }
         )
-        return out
-    c_tus = np.sort(clicks["tus"].to_numpy(dtype="int64")) if len(clicks) else np.empty(0, dtype="int64")
-    p = purchases.sort_values("tus", kind="mergesort")
-    p_tus = p["tus"].to_numpy(dtype="int64")
-    # strictly-before counts: searchsorted left == #clicks with tus < p_tus
-    n_before = np.searchsorted(c_tus, p_tus, side="left")
-    last_gap = np.where(
-        n_before > 0,
-        p_tus - c_tus[np.maximum(n_before - 1, 0)],
-        -1,
-    )
+    p_user = purchases["user_id"].to_numpy(dtype="int64")
+    p_tus = purchases["tus"].to_numpy(dtype="int64")
+    p_eid = purchases["event_id"].to_numpy(dtype="int64")
+    order = np.lexsort((p_tus, p_user))
+    p_user, p_tus, p_eid = p_user[order], p_tus[order], p_eid[order]
+    if len(clicks):
+        c_user = clicks["user_id"].to_numpy(dtype="int64")
+        c_tus = clicks["tus"].to_numpy(dtype="int64")
+        corder = np.lexsort((c_tus, c_user))
+        c_user, c_tus = c_user[corder], c_tus[corder]
+    else:
+        c_user = np.empty(0, dtype="int64")
+        c_tus = np.empty(0, dtype="int64")
+    n_before = np.zeros(len(p_tus), dtype="int64")
+    last_gap = np.full(len(p_tus), -1, dtype="int64")
+    u_vals, u_starts = np.unique(p_user, return_index=True)
+    u_ends = np.append(u_starts[1:], len(p_user))
+    c_lo = np.searchsorted(c_user, u_vals, side="left")
+    c_hi = np.searchsorted(c_user, u_vals, side="right")
+    for i in range(len(u_vals)):
+        ps, pe = u_starts[i], u_ends[i]
+        seg = c_tus[c_lo[i] : c_hi[i]]
+        # strictly-before counts: searchsorted left == #clicks with
+        # tus < p_tus (sorted within the user segment)
+        nb = np.searchsorted(seg, p_tus[ps:pe], side="left")
+        n_before[ps:pe] = nb
+        last_gap[ps:pe] = np.where(
+            nb > 0, p_tus[ps:pe] - seg[np.maximum(nb - 1, 0)], -1
+        )
     out = pd.DataFrame(
         {
-            "user_id": np.int64(user_id),
-            "purchase_event_id": p["event_id"].to_numpy(dtype="int64"),
-            "n_clicks_before": n_before.astype("int64"),
-            "last_click_gap_us": last_gap.astype("int64"),
+            "user_id": p_user,
+            "purchase_event_id": p_eid,
+            "n_clicks_before": n_before,
+            "last_click_gap_us": last_gap,
         }
     )
     out["last_click_gap_us"] = out["last_click_gap_us"].astype("Int64")
@@ -2914,8 +2932,25 @@ def q_cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "tus"
     )
-    return clicks.groupBy("user_id").cogroup(
-        purchases.groupBy("user_id")
+    # Two boundary-cost fixes (guide §2 + §4), results identical:
+    # 1. cogroup on a HASH SHARD of the user, not the user: per-group
+    #    invocation overhead (two Arrow streams + two pandas frames per
+    #    call, measured ~3.7 ms/group) dominated the per-user kernel —
+    #    ~shards groups instead of ~|users| groups crosses the Python
+    #    boundary ~cores times per core instead of thousands.
+    # 2. explicit repartition(shards, shard) on both sides pins the
+    #    Python stage's partition count: the bare cogroup exchanges are
+    #    AQE-coalesced by BYTES (measured: 0.6 MB shuffle → 2 tasks),
+    #    the wrong proxy for the stage's CPU-bound work.  The pinned
+    #    hashpartitioning satisfies the cogroup clustering requirement
+    #    (no extra exchange); shards derives from the session
+    #    (scale-adaptive, same pattern as operators.transforms.spread).
+    shards = max(int(spark.sparkContext.defaultParallelism), 1) * 2
+    shard = F.pmod(F.xxhash64(F.col("user_id")), F.lit(shards)).alias("sh")
+    clicks = clicks.select("*", shard)
+    purchases = purchases.select("*", shard)
+    return clicks.repartition(shards, "sh").groupBy("sh").cogroup(
+        purchases.repartition(shards, "sh").groupBy("sh")
     ).applyInPandas(
         _cogroup_click_context,
         "user_id long, purchase_event_id long, n_clicks_before long, "
