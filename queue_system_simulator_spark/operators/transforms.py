@@ -137,6 +137,25 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(slots)
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Cache ``df`` and eagerly fill the cache with one cheap action.
+
+    A ``.cache()`` alone is lazy: when a plan's independent subtrees all
+    consume the cached frame, Spark schedules them concurrently and each
+    racing stage recomputes the same partitions before any of them finishes
+    populating the cache (stage-level profile of minhash_verified_pairs:
+    three concurrent stages each re-ran the full tokenize+hash pipeline;
+    the BlockManager's "block already exists; not re-adding" warnings are
+    this race).  One ``count()`` barrier up front makes every consumer a
+    cache *read*.  The action itself is O(1) driver-side — the data stays
+    distributed — so the pattern holds at any scale; it trades one extra
+    scheduling round-trip for never duplicating the expensive lineage.
+    """
+    df = df.cache()
+    df.count()
+    return df
+
+
 def sliding_index_sql(arr: str, width: int) -> str:
     """SQL snippet: 1-based start positions of ``width``-token sliding
     windows over array column ``arr`` — EMPTY when the array is shorter

@@ -29,6 +29,7 @@ from queue_system_simulator_spark.plans.registry import (
 )
 from queue_system_simulator_spark.schema import load_table
 from queue_system_simulator_spark.operators.transforms import (
+    materialize,
     sliding_index_sql,
     spread,
 )
@@ -229,37 +230,71 @@ FROM (
 """
 
 
-def _shingles(
+def _shingle_arrays(
     spark: SparkSession, sf_dir: str, only_docs: DataFrame | None = None
 ) -> DataFrame:
-    """Distinct 3-gram word shingles per document (Spark side).
+    """Per-document DISTINCT 3-gram shingle ARRAY — entirely map-side.
 
+    ``(doc_id, source, shings array<string>)``, one row per document.
     Tokenize once into a materialized column, then build the shingle array
-    JVM-side with ``transform(sequence(...))`` — re-splitting the text per
-    element would multiply the scan cost by the document length.  Fan-out is
-    O(tokens) per doc — bounded, shuffle-safe.
+    JVM-side with ``transform(sequence(...))`` and dedup it with
+    ``array_distinct`` *inside the row*.  Because ``doc_id`` is unique in
+    ``documents``, a per-row ``array_distinct`` is exactly the global
+    ``SELECT DISTINCT doc_id, source, shingle`` — but with ZERO exchange
+    where the exploded form paid a full shuffle of every shingle string
+    (guide §2.4: remove shuffles outright; the distinct's hash partitioning
+    was useless downstream anyway — consumers re-key by doc or by shingle).
 
     ``only_docs`` (a one-column ``doc_id`` frame) restricts shingling to a
-    document subset BEFORE the tokenize/explode/distinct work — the verify
-    stage of candidate-then-verify pipelines re-shingles only candidate
-    docs, so its cost scales with the candidate set, not the corpus.
+    document subset BEFORE the tokenize work — the verify stage of
+    candidate-then-verify pipelines re-shingles only candidate docs, so
+    its cost scales with the candidate set, not the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
     if only_docs is not None:
         docs = docs.join(F.broadcast(only_docs), "doc_id", "left_semi")
     # documents arrive as few fat parquet partitions; spread the tokenize +
-    # explode across the cluster before the fan-out
+    # fan-out across the cluster
     toked = spread(docs).select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )
     shingles = F.expr(
-        f"transform({sliding_index_sql('toks', 3)}, "
+        f"array_distinct(transform({sliding_index_sql('toks', 3)}, "
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
-        "element_at(toks, i + 2)))"
+        "element_at(toks, i + 2))))"
     )
-    return (
-        toked.select("doc_id", "source", F.explode(shingles).alias("shingle"))
-        .distinct()
+    return toked.select("doc_id", "source", shingles.alias("shings"))
+
+
+def _shingles(
+    spark: SparkSession, sf_dir: str, only_docs: DataFrame | None = None
+) -> DataFrame:
+    """Distinct 3-gram word shingles per document, exploded form
+    ``(doc_id, source, shingle)`` — per-doc dedup happens map-side inside
+    the generator (``explode(array_distinct(...))``), so NO distinct
+    exchange follows the fan-out.
+
+    The array expression is INLINED into the explode on purpose: exploding
+    a *named* computed array column plans as Generate-over-Project, and
+    ``InferFiltersFromGenerate`` then pushes a ``size(col) > 0 AND
+    isnotnull(col)`` filter below the spread exchange with the alias
+    inlined — the whole tokenize+distinct pipeline re-evaluates 3× per row
+    on the UN-spread scan partitions (measured 0.14 s → 3.2 s at sf0.1).
+    Callers that need the array form use :func:`_shingle_arrays` and must
+    materialize it before fanning out."""
+    docs = load_table(spark, sf_dir, "documents")
+    if only_docs is not None:
+        docs = docs.join(F.broadcast(only_docs), "doc_id", "left_semi")
+    toked = spread(docs).select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    shingles = F.expr(
+        f"array_distinct(transform({sliding_index_sql('toks', 3)}, "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
+        "element_at(toks, i + 2))))"
+    )
+    return toked.select(
+        "doc_id", "source", F.explode(shingles).alias("shingle")
     )
 
 
@@ -288,8 +323,11 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.05
     "join-on-shingle, never all-pairs. Integer set sizes → exact.",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrs = materialize(_shingle_arrays(spark, sf_dir))
+    sh = arrs.select("doc_id", "source", F.explode("shings").alias("shingle"))
+    # distinct-shingle counts straight off the per-doc array — no groupBy
+    # pass over the exploded frame
+    sizes = arrs.select("doc_id", F.size("shings").alias("n_sh"))
     # inverted-index pair generation: one groupBy to build the posting list
     # per (source, shingle), then emit C(k,2) ordered pairs from the sorted
     # list JVM-side.  Same pair multiset as the equi-self-join the oracle
@@ -358,12 +396,20 @@ def _minhash_wide(
 
     All 16 seed-hashes are computed inline per doc-shingle row and reduced
     by 16 ``min()`` columns in ONE partial-aggregated groupBy — no 16×
-    explode through the shuffle, no second pass over the shingles.  (A
-    hash-each-distinct-shingle-once variant was measured 5× slower here:
-    the extra distinct shuffle + broadcast build outweigh re-hashing
-    unless shingle reuse across documents is high — if a real corpus has
-    that shape, reintroduce the vocab table as a plain shuffle join.)
+    explode through the shuffle, and the md5s stay whole-stage-codegen'd
+    (an ``array_min(transform(...))`` map-side variant measured equal-or-
+    slower: higher-order lambdas are interpreted, and a named array column
+    gets re-inlined into every consumer by CollapseProject).  Since
+    :func:`_shingles` dedups inside the generator, each document's
+    shingles stay CONTIGUOUS in its map partition, so the partial
+    aggregation emits exactly one row per doc — the old global-distinct
+    exchange had scattered each doc's shingles across all partitions,
+    making this same groupBy shuffle 59 MB at sf0.1; it is now ~2 MB.
     Values are identical to the per-seed-explode formulation (and oracle).
+
+    Callers that already hold an exploded (possibly candidate-filtered)
+    shingle frame pass ``sh=`` so the reduction cost scales with the
+    filtered subset.
     """
     if sh is None:
         sh = _shingles(spark, sf_dir)
@@ -447,8 +493,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is 16 column comparisons evaluated inside the candidate join —
     # the long-format double join + regroup of the naive plan never
     # happens.  One row per doc crosses the shuffle per band; candidates
-    # stay join-on-bucket, never all-pairs.
-    wide = _minhash_wide(spark, sf_dir).cache()
+    # stay join-on-bucket, never all-pairs.  The frame is one map-side
+    # projection per doc (array minhash), eagerly materialized so the band
+    # self-join's two sides and sa/sb don't race to fill the cache.
+    wide = materialize(_minhash_wide(spark, sf_dir))
     cand = _lsh_candidates(wide)
     sa = wide.select(
         F.col("doc_id").alias("doc_a"),
@@ -1786,16 +1834,21 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
     "survive with jaccard 0 so sketch precision is itself observable.",
 )
 def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE tokenize pass serves both stages: the cached shingle frame feeds
-    # the signature build, and the verify stage filters the same frame down
-    # to candidate docs instead of re-tokenizing them (r2 bench showed the
-    # second tokenize dominating this query's 7.3 s)
-    sh = _shingles(spark, sf_dir).cache()
-    # wide is consumed twice by the band self-join — cache it or the
-    # minhash aggregation over the shingles runs twice
-    wide = _minhash_wide(spark, sf_dir, sh=sh).cache()
+    # ONE tokenize pass serves both stages, held as the per-doc ARRAY frame
+    # (one row per doc, map-side-distinct — no shingle-string shuffle at
+    # all), eagerly materialized so the plan's independent subtrees read
+    # the cache instead of racing to recompute the tokenize (profiled: the
+    # lazy cache was filled 3× concurrently, ~30 s of duplicated executor
+    # time at sf0.1)
+    arrs = materialize(_shingle_arrays(spark, sf_dir))
+    # signatures reduce the cached arrays' explode — the groupBy sees each
+    # doc's shingles contiguous, so its partial aggregation emits one row
+    # per doc; cached (not materialized: the first consumer fills it from
+    # the warm arrs cache)
+    sh_full = arrs.select("doc_id", F.explode("shings").alias("shingle"))
+    wide = _minhash_wide(spark, sf_dir, sh=sh_full).cache()
     cand = _lsh_candidates(wide).cache()
-    # verify-stage pruning: everything downstream — shingle distinct,
+    # verify-stage pruning: everything downstream — shingle explode,
     # sizes, intersection joins — touches only CANDIDATE docs' shingles,
     # so it scales with the candidate set (a vanishing fraction of the
     # corpus), not the corpus
@@ -1804,8 +1857,13 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").cache()
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrs_c = arrs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sh_c = arrs_c.select(
+        "doc_id", F.explode("shings").alias("shingle")
+    ).cache()
+    # per-doc distinct-shingle counts come straight off the array — no
+    # groupBy over the exploded frame
+    sizes = arrs_c.select("doc_id", F.size("shings").alias("n_sh"))
     sh_a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -4741,8 +4799,9 @@ WHERE greatest(CAST(i.n_inter AS DOUBLE) / sa.n_sh,
     "containment-heavy pairs usually keep the superset document.",
 )
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrs = materialize(_shingle_arrays(spark, sf_dir))
+    sh = arrs.select("doc_id", "source", F.explode("shings").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("shings").alias("n_sh"))
     posting = sh.groupBy("source", "shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
@@ -5931,17 +5990,20 @@ def q_prefix_filter_jaccard_pairs(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    tok = _shingles(spark, sf_dir).select("doc_id", "shingle").cache()
+    arrs = materialize(_shingle_arrays(spark, sf_dir))
+    # per-doc size comes off the array map-side; the exploded frame then
+    # carries it along, so the doc-partitioned window only computes the
+    # rarest-first rank
+    tok = arrs.select(
+        "doc_id", F.size("shings").alias("n"), F.explode("shings").alias("shingle")
+    )
     df = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # one shuffle on doc_id produces BOTH per-doc size (count window) and
-    # the rarest-first rank (row_number window) — the size then rides along
-    # through the candidate join so the verify stage needs no re-join with
-    # a doc-size frame
-    wd = Window.partitionBy("doc_id")
-    w = wd.orderBy("df", "shingle")
+    # one shuffle on doc_id produces the rarest-first rank; the size rides
+    # along through the candidate join so the verify stage needs no re-join
+    # with a doc-size frame
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     pref = (
         tok.join(df, "shingle")
-        .withColumn("n", F.count(F.lit(1)).over(wd))
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
