@@ -804,8 +804,10 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"),
             ).alias("sig"),
         )
-        .cache()
     )
+    # sig feeds the band self-join (both sides) plus sa/sb — eager fill,
+    # or the four consumers race to recompute the token groupBy
+    sig = materialize(sig)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1846,43 +1848,37 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per doc; cached (not materialized: the first consumer fills it from
     # the warm arrs cache)
     sh_full = arrs.select("doc_id", F.explode("shings").alias("shingle"))
-    wide = _minhash_wide(spark, sf_dir, sh=sh_full).cache()
-    cand = _lsh_candidates(wide).cache()
-    # verify-stage pruning: everything downstream — shingle explode,
-    # sizes, intersection joins — touches only CANDIDATE docs' shingles,
-    # so it scales with the candidate set (a vanishing fraction of the
-    # corpus), not the corpus
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # wide feeds the band self-join's two sides: materialize, or the
+    # consumers race to recompute it (profiled: three ~3 s band-join
+    # stages for one logical build)
+    wide = materialize(_minhash_wide(spark, sf_dir, sh=sh_full))
+    cand = _lsh_candidates(wide)
+    # verify: exact |A ∩ B| as a MAP-SIDE set intersection on the per-doc
+    # shingle arrays — two joins attach each candidate's (still-pruned:
+    # only candidate docs' rows are pulled by the join) arrays, and
+    # ``size(array_intersect(...))`` + ``size(shings)`` replace the old
+    # explode → two shingle equi-joins → count groupBy → three re-joins
+    # of cand/sizes.  Zero-overlap candidates (band false positives) get
+    # n_inter = 0 from the intersect directly — no left join needed.
+    # Verify cost stays ∝ candidate shingle mass, never the corpus square.
+    sh_a = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shings").alias("sh_a"),
+        F.size("shings").alias("sa"),
     )
-    arrs_c = arrs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    sh_c = arrs_c.select(
-        "doc_id", F.explode("shings").alias("shingle")
-    ).cache()
-    # per-doc distinct-shingle counts come straight off the array — no
-    # groupBy over the exploded frame
-    sizes = arrs_c.select("doc_id", F.size("shings").alias("n_sh"))
-    sh_a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i_inter"))
+    sh_b = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shings").alias("sh_b"),
+        F.size("shings").alias("sb"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
-    n_inter = F.coalesce(F.col("i_inter"), F.lit(0))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            n_inter.cast("long").alias("n_inter"),
+            n_inter.alias("n_inter"),
             (F.col("sa") + F.col("sb") - n_inter).cast("long").alias("n_union"),
             F.round(
                 n_inter.cast("double") / (F.col("sa") + F.col("sb") - n_inter), 6
@@ -6000,9 +5996,12 @@ def q_prefix_filter_jaccard_pairs(
     df = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # one shuffle on doc_id produces the rarest-first rank; the size rides
     # along through the candidate join so the verify stage needs no re-join
-    # with a doc-size frame
+    # with a doc-size frame.  Materialized: the candidate pass below and
+    # the downstream lineage would otherwise each recompute the df-join +
+    # window (profiled: two identical 7 MB → 4 MB stages, 17.7 + 11.1 s
+    # executor, for one logical pref build).
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    pref = (
+    pref = materialize(
         tok.join(df, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(
@@ -6011,30 +6010,61 @@ def q_prefix_filter_jaccard_pairs(
         )
         .select("doc_id", "shingle", "n")
     )
+    # candidate generation as an inverted-index posting pass (the
+    # ngram_jaccard pattern): ONE shuffle on the prefix shingle builds the
+    # sorted posting list, and ordered pairs are emitted JVM-side — the
+    # same pair multiset as the self-join ON a.shingle = b.shingle AND
+    # a.doc_id < b.doc_id, without shuffling pref twice.  The partition
+    # count is PINNED (repartition by shingle) because AQE's byte-based
+    # coalescing had packed the pair-emission stage onto 5 tasks (28.5 s
+    # executor on 6 MB of shuffle) — candidate fan-out is compute-bound,
+    # bytes are the wrong proxy (guide §2.5, the round's central finding).
+    slots = max(int(spark.sparkContext.defaultParallelism), 1)
+    posting = (
+        pref.repartition(slots, "shingle")
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias(
+                "docs"
+            )
+        )
+    )
+    pair_expr = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.n AS na, y.n AS nb))))"
+    )
     cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
+        posting.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .distinct()
     )
+    # verify: exact |A ∩ B| as a MAP-SIDE set intersection on the per-doc
+    # shingle arrays — two joins attach each candidate's arrays (AQE
+    # broadcasts the doc-array side when it fits; at scale they are plain
+    # keyed joins) and ``size(array_intersect(...))`` replaces the old
+    # explode → two shingle equi-joins → count groupBy (which re-shuffled
+    # candidate×shingle mass and then aggregated it back down).  The
+    # intersect count over the distinct arrays is the same integer.
+    sh_a = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shings").alias("sh_a")
+    )
+    sh_b = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shings").alias("sh_b")
+    )
     inter = (
-        cand.join(tok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            tok.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.shingle") == F.col("tb.shingle")),
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_inter"),
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     uni = F.col("na") + F.col("nb") - F.col("n_inter")
     jac = F.col("n_inter").cast("double") / uni
@@ -6404,18 +6434,23 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(MH_DOC_SAMPLE)
     )
-    tok = (
-        _shingles(spark, sf_dir, only_docs=sdocs)
-        .select("doc_id", "shingle")
-        .cache()
+    # materialized ARRAY frame: feeds the exploded tok (dfreq + pref +
+    # signature build) and the array-intersect verify — lazily-cached
+    # frames with that many independent consumers get recomputed
+    # concurrently before the cache fills (transforms.materialize)
+    arrs_s = materialize(
+        _shingle_arrays(spark, sf_dir, only_docs=sdocs).select(
+            "doc_id", "shings"
+        )
     )
+    tok = arrs_s.select("doc_id", F.explode("shings").alias("shingle"))
     dfreq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id")
     w = wd.orderBy("df", "shingle")
-    # cached: the candidate self-join reads pref TWICE and the sampled /
-    # verify lineage a third time — without the cache the df-join + two
-    # windows re-execute per consumer (≤ sample-bounded rows, tiny)
-    pref = (
+    # materialized: the candidate self-join reads pref TWICE and the
+    # sampled / verify lineage a third time — without the eager fill the
+    # df-join + two windows re-execute per consumer (sample-bounded, tiny)
+    pref = materialize(
         tok.join(dfreq, "shingle")
         .withColumn("n", F.count(F.lit(1)).over(wd))
         .withColumn("rn", F.row_number().over(w))
@@ -6424,7 +6459,6 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
         )
         .select("doc_id", "shingle", "n")
-        .cache()
     )
     cand = (
         pref.alias("a")
@@ -6456,18 +6490,28 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
     ).limit(MH_EVAL_PAIRS)
     # exact verify over the BROADCAST ≤MH_EVAL_PAIRS sample (2k pairs
-    # ≈ 64 kB): both tok joins become broadcast joins, never a
-    # corpus-wide pair shuffle
+    # ≈ 64 kB): map-side ``size(array_intersect(...))`` on the per-doc
+    # shingle arrays — two joins against the sampled-array frame replace
+    # the old shingle equi-join + count groupBy (profiled at 10 s executor)
+    sh_a = arrs_s.select(
+        F.col("doc_id").alias("doc_a"), F.col("shings").alias("sh_a")
+    )
+    sh_b = arrs_s.select(
+        F.col("doc_id").alias("doc_b"), F.col("shings").alias("sh_b")
+    )
     inter = (
         F.broadcast(sampled)
-        .join(tok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            tok.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.shingle") == F.col("tb.shingle")),
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_inter"),
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     uni = F.col("na") + F.col("nb") - F.col("n_inter")
     jacc = F.col("n_inter").cast("double") / uni
@@ -6481,8 +6525,11 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full-corpus mh CTE — the pair join filters it to the same rows)
     # while skipping a second corpus-wide tokenize+explode.
     stack = ", ".join(f"{s}L, mh_{s}" for s in range(NUM_MINHASH))
+    # materialized: the a/b pair sides below both consume mh — lazily the
+    # 16-md5 signature groupBy re-ran once per side (profiled: three
+    # near-identical 11–18 s stages over the cached tok frame)
     mh = (
-        _minhash_wide(spark, sf_dir, sh=tok)
+        materialize(_minhash_wide(spark, sf_dir, sh=tok))
         .select(
             "doc_id",
             F.expr(f"stack({NUM_MINHASH}, {stack}) AS (seed, minhash)"),

@@ -165,10 +165,12 @@ def test_hard_negative_mining_bounded_sample_plan(spark, sf_dir):
 
 def test_minhash_verified_pairs_prunes_to_candidates(spark, sf_dir):
     plan = _executed_plan(QUERIES["minhash_verified_pairs"].build(spark, sf_dir))
-    # the verify stage must re-shingle only candidate docs: a left-semi
-    # prune against the candidate doc set appears before the second
-    # documents scan feeds the intersection joins
-    assert "LeftSemi" in plan
+    # the verify stage must touch only candidate pairs: exact intersection
+    # counts come from a map-side array_intersect over per-doc shingle
+    # arrays attached by candidate-keyed equi-joins — never a pair
+    # enumeration of the corpus (no cartesian), and no corpus-wide
+    # (doc, shingle) equi-self-join re-shuffle in the verify
+    assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
 
 
