@@ -22,13 +22,12 @@ from pyspark.sql.functions import udtf
 
 @udtf(
     returnType="user_id bigint, event_type string, run_len bigint, "
-    "run_start_us bigint",
-    # Arrow serialization for the row transport (guide §4.3): eval() is
-    # still called per row — the UDTF contract — but batches cross the
-    # JVM↔Python boundary as Arrow instead of pickled rows (~10% here;
-    # the declared return types are exact, so Arrow's stricter coercion
-    # changes nothing)
-    useArrow=True,
+    "run_start_us bigint"
+    # NOT useArrow=True: a conf-level A/B
+    # (spark.sql.execution.pythonUDTF.arrow.enabled) read ~10% faster, but
+    # the decorator flag measured a consistent 7× REGRESSION (12.8 s vs
+    # 1.8 s median) under the full bench's PARTITION BY TABLE argument —
+    # pickled-row transport stays
 )
 class RunLengthEncode:
     """Collapse consecutive same-type events per user into runs.
