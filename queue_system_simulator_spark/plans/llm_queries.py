@@ -6031,35 +6031,35 @@ def q_prefix_filter_jaccard_pairs(
         )
         .select("doc_id", "shingle", "n")
     )
-    # candidate generation as an inverted-index posting pass (the
-    # ngram_jaccard pattern): ONE shuffle on the prefix shingle builds the
-    # sorted posting list, and ordered pairs are emitted JVM-side — the
-    # same pair multiset as the self-join ON a.shingle = b.shingle AND
-    # a.doc_id < b.doc_id, without shuffling pref twice.  The partition
-    # count is PINNED (repartition by shingle) because AQE's byte-based
-    # coalescing had packed the pair-emission stage onto 5 tasks (28.5 s
-    # executor on 6 MB of shuffle) — candidate fan-out is compute-bound,
-    # bytes are the wrong proxy (guide §2.5, the round's central finding).
+    # candidate generation: equi-join of the MATERIALIZED pref with itself
+    # on the prefix shingle (doc_a < doc_b) — both sides read the cache, so
+    # the old duplicated-lineage cost of the self-join is gone, and the
+    # pair emission runs inside whole-stage codegen.  (A posting-list
+    # variant — collect_list per shingle + a nested transform/slice pair
+    # expression — measured 6.7 s isolated but a consistent 19-22 s inside
+    # the full 161-query bench session: higher-order lambdas evaluate
+    # interpreted, and that stage degraded ~3x under long-session JVM
+    # state while the codegen'd join shape stays flat.  Reverted to the
+    # join; guide §1.1 — trust the paired measurement, not the prettier
+    # plan.)  The dedup exchange is PINNED to the session's parallelism on
+    # (doc_a, doc_b): hashpartitioning on a subset of the grouping keys
+    # satisfies the aggregate's clustering, so no extra exchange appears,
+    # and AQE's byte-based coalescing cannot pack the compute-bound
+    # verify stage onto a handful of tasks (guide §2.5, the round's
+    # central finding).
     slots = max(int(spark.sparkContext.defaultParallelism), 1)
-    posting = (
-        pref.repartition(slots, "shingle")
-        .groupBy("shingle")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias(
-                "docs"
-            )
-        )
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
     )
-    pair_expr = F.expr(
-        "flatten(transform(docs, (x, i) -> "
-        "transform(slice(docs, i + 2, size(docs)), "
-        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-        "x.n AS na, y.n AS nb))))"
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
     )
     cand = (
-        posting.select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
-        .distinct()
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "na", "nb")
+        .repartition(slots, "doc_a", "doc_b")
+        .dropDuplicates()
     )
     # verify: exact |A ∩ B| as a MAP-SIDE set intersection on the per-doc
     # shingle arrays — two joins attach each candidate's arrays (AQE
