@@ -3455,118 +3455,79 @@ def _bpe_oracle_sql() -> str:
     "production BPE trainers stay tractable on 100 TB corpora.",
 )
 def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from queue_system_simulator_spark.shipping import ensure_shipped
 
+    ensure_shipped(spark)  # the kernel closure unpickles on workers
     docs = load_table(spark, sf_dir, "documents")
+    # distributed part: the corpus is read ONCE for the word counts (the
+    # only pass whose cost scales with corpus bytes); everything after
+    # operates on the vocabulary, which is small by construction.
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "syms",
-            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
-        )
-        # the vocabulary is tiny by construction; keep the whole iteration
-        # on the driver-adjacent fast path (one partition, no shuffles
-        # beyond the pair counts) and truncate lineage between rounds
-        .coalesce(1)
     )
-    merges = []
-    for n in range(1, BPE_ROUNDS + 1):
-        words = words.localCheckpoint(eager=True)
-        pairs = (
-            words.filter(F.size("syms") >= 2)
-            .select(
-                "w",
-                "cnt",
-                F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
-                "syms",
+
+    # iterative part: all BPE_ROUNDS merge rounds run inside ONE Python
+    # kernel over the single-partition vocabulary — exactly how production
+    # BPE trainers iterate (vocab in memory, corpus untouched).  The old
+    # unrolled-relational form ran the same iteration as ~8 Spark jobs per
+    # round (eager localCheckpoint, pair explode + argmax, two window
+    # ranks, three joins, collect_list rebuild) over a coalesce(1) frame —
+    # pure per-round scheduling latency, no parallelism to lose (measured:
+    # 1.79 s -> ~0.6 s at sf0.1).  The merge rule is the same
+    # left-to-right non-overlapping scan the relational runs/odd-rank
+    # formulation encodes, and ties break on (f DESC, s1, s2) exactly.
+    def merge_rounds(batches):
+        import pandas as pd
+
+        syms_l: list[list[str]] = []
+        cnts: list[int] = []
+        for pdf in batches:
+            for w, c in zip(pdf["w"], pdf["cnt"]):
+                syms_l.append(list(w))
+                cnts.append(int(c))
+        out: list[tuple[int, str, str, int]] = []
+        for rnd in range(1, BPE_ROUNDS + 1):
+            pair_counts: dict[tuple[str, str], int] = {}
+            for syms, c in zip(syms_l, cnts):
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pair_counts[k] = pair_counts.get(k, 0) + c
+            if not pair_counts:
+                break
+            (s1, s2), f = min(
+                pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
             )
-            .select(
-                "w",
-                "cnt",
-                "i",
-                F.expr("element_at(syms, i)").alias("s1"),
-                F.expr("element_at(syms, i + 1)").alias("s2"),
-            )
+            out.append((rnd, s1, s2, f))
+            if rnd == BPE_ROUNDS:
+                break
+            merged = s1 + s2
+            for syms in syms_l:
+                n = len(syms)
+                if n < 2:
+                    continue
+                res: list[str] = []
+                i = 0
+                while i < n:
+                    if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms[:] = res
+        yield pd.DataFrame(
+            out, columns=["round", "left_sym", "right_sym", "f"]
+        ).astype(
+            {"round": "int32", "left_sym": "object",
+             "right_sym": "object", "f": "int64"}
         )
-        best = (
-            pairs.groupBy("s1", "s2")
-            .agg(F.sum("cnt").alias("f"))
-            .orderBy(F.desc("f"), "s1", "s2")
-            .limit(1)
-        )
-        merges.append(
-            best.select(
-                F.lit(n).alias("round"),
-                F.col("s1").alias("left_sym"),
-                F.col("s2").alias("right_sym"),
-                "f",
-            )
-        )
-        if n == BPE_ROUNDS:
-            break
-        match = pairs.join(F.broadcast(best.select("s1", "s2")), ["s1", "s2"])
-        rid = (F.col("i") - F.row_number().over(
-            Window.partitionBy("w").orderBy("i")
-        )).alias("rid")
-        sel = (
-            match.select("w", "i", rid)
-            .withColumn(
-                "k",
-                F.row_number().over(
-                    Window.partitionBy("w", "rid").orderBy("i")
-                ),
-            )
-            .filter(F.col("k") % 2 == 1)
-            .select("w", F.col("i").alias("mi"))
-        )
-        sym_pos = words.select(
-            "w", "cnt", F.posexplode("syms").alias("j0", "sym")
-        ).withColumn("j", F.col("j0") + 1)
-        merged_sym = F.concat(F.col("s1"), F.col("s2"))
-        s = sym_pos.alias("s")
-        gj = sel.alias("gj")
-        gp = sel.alias("gp")
-        reb = (
-            s.crossJoin(F.broadcast(best.select("s1", "s2")))
-            .join(
-                F.broadcast(gj),
-                (F.col("s.w") == F.col("gj.w"))
-                & (F.col("gj.mi") == F.col("s.j")),
-                "left_outer",
-            )
-            .join(
-                F.broadcast(gp),
-                (F.col("s.w") == F.col("gp.w"))
-                & (F.col("gp.mi") == F.col("s.j") - 1),
-                "left_outer",
-            )
-            .filter(F.col("gp.mi").isNull())
-            .select(
-                F.col("s.w").alias("w"),
-                F.col("s.cnt").alias("cnt"),
-                F.col("s.j").alias("j"),
-                F.when(F.col("gj.mi").isNotNull(), merged_sym)
-                .otherwise(F.col("s.sym"))
-                .alias("sym"),
-            )
-        )
-        words = (
-            reb.groupBy("w", "cnt")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "sym"))),
-                    lambda st: st["sym"],
-                ).alias("syms")
-            )
-            .coalesce(1)
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+
+    return words.coalesce(1).mapInPandas(
+        merge_rounds, "round int, left_sym string, right_sym string, f long"
+    )
 
 
 # --------------------------------------------------------------------------
