@@ -150,8 +150,21 @@ FROM ({fifo_k1_timeline_sql("SELECT * FROM events")})
     "SQL, proving batch kernel ≡ online kernel ≡ SQL recurrence.",
 )
 def q_streaming_fifo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from queue_system_simulator_spark.streaming.stream import (
+        FIFO_STATE_SHARDS,
+    )
+
     stream = stream_events(spark, sf_dir)
-    return run_available_now(streaming_fifo_k1(stream), output_mode="append")
+    # the kernel's stateful key domain IS the shard id (FIFO_STATE_SHARDS
+    # groups): session-default shuffle partitions would build 4x as many
+    # state stores as there are keys — pure per-partition store setup over
+    # empty state (run_available_now's small-key-domain contract).  Wall
+    # effect at sf0.1 is within noise (machinery floor); store count 32→8.
+    return run_available_now(
+        streaming_fifo_k1(stream),
+        output_mode="append",
+        state_partitions=FIFO_STATE_SHARDS,
+    )
 
 
 @register(
