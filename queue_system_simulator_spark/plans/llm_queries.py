@@ -30,6 +30,7 @@ from queue_system_simulator_spark.plans.registry import (
 from queue_system_simulator_spark.schema import load_table
 from queue_system_simulator_spark.operators.transforms import (
     materialize,
+    materialize_many,
     sliding_index_sql,
     spread,
 )
@@ -6431,8 +6432,13 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = wd.orderBy("df", "shingle")
     # materialized: the candidate self-join reads pref TWICE and the
     # sampled / verify lineage a third time — without the eager fill the
-    # df-join + two windows re-execute per consumer (sample-bounded, tiny)
-    pref = materialize(
+    # df-join + two windows re-execute per consumer (sample-bounded, tiny).
+    # pref and the minhash signature frame below both derive from the
+    # cached tok and are independent of EACH OTHER, so their fill jobs run
+    # concurrently from a driver thread pool (guide §2.6): the signature
+    # job's tasks back-fill executors freed by the pref job's tail instead
+    # of waiting behind a serial barrier.
+    pref_lazy = (
         tok.join(dfreq, "shingle")
         .withColumn("n", F.count(F.lit(1)).over(wd))
         .withColumn("rn", F.row_number().over(w))
@@ -6441,6 +6447,12 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
         )
         .select("doc_id", "shingle", "n")
+    )
+    # signature build moved up from the estimate step: same frame, same
+    # consumers — materialized here so the fill overlaps pref's (the two
+    # jobs share no lineage beyond the already-cached arrs_s/tok)
+    pref, mh_wide = materialize_many(
+        pref_lazy, _minhash_wide(spark, sf_dir, sh=tok)
     )
     cand = (
         pref.alias("a")
@@ -6507,11 +6519,12 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full-corpus mh CTE — the pair join filters it to the same rows)
     # while skipping a second corpus-wide tokenize+explode.
     stack = ", ".join(f"{s}L, mh_{s}" for s in range(NUM_MINHASH))
-    # materialized: the a/b pair sides below both consume mh — lazily the
-    # 16-md5 signature groupBy re-ran once per side (profiled: three
-    # near-identical 11–18 s stages over the cached tok frame)
+    # materialized (fill overlapped with pref above): the a/b pair sides
+    # below both consume mh — lazily the 16-md5 signature groupBy re-ran
+    # once per side (profiled: three near-identical 11–18 s stages over
+    # the cached tok frame)
     mh = (
-        materialize(_minhash_wide(spark, sf_dir, sh=tok))
+        mh_wide
         .select(
             "doc_id",
             F.expr(f"stack({NUM_MINHASH}, {stack}) AS (seed, minhash)"),
