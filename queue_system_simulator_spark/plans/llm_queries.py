@@ -943,7 +943,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     signature = None
     for _ in range(15):  # O(log² n) bound; fixpoint probe exits early
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the fixpoint probe right below is a full pass
+        # over new_edges anyway, so it materializes the checkpoint blocks
+        # in the SAME job — one driver action per round instead of two
+        # (eager checkpoint + probe).  The DataFrame's logical plan is
+        # truncated to a LogicalRDD either way, so the superlinear
+        # plan-growth hazard the checkpoint exists for stays closed; the
+        # next round's multi-consumer reads hit the materialized blocks.
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=False
+        )
         sig = new_edges.agg(
             F.count(F.lit(1)), F.sum("a"), F.sum("b")
         ).first()
@@ -6635,10 +6644,16 @@ def q_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-candidate subtree 4^rounds times and the driver OOMs on plan
     # size alone — the iterative-loop rule from the connected-components
     # query: localCheckpoint the (small) iterate each round
+    # LAZY checkpoints throughout this loop: every checkpointed iterate is
+    # immediately followed by a full-pass count (the fixpoint probe), which
+    # materializes the blocks in the same job — one driver action per
+    # round instead of two.  Lineage truncation (the reason the
+    # checkpoint exists — see the 4^rounds note above) is unchanged: the
+    # DataFrame plan becomes a LogicalRDD at the localCheckpoint call.
     cur = (
         _lsh_candidates(wide)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def trajectory(r: int, edges: DataFrame) -> DataFrame:
@@ -6661,7 +6676,7 @@ def q_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all rounds), but the converged tail costs one tiny cross join
     # instead of per-round checkpoint jobs + degree/semi-join stages
     # (sf0.1 converges after round 1; 3 of 4 rounds were no-ops).
-    prev_edges = cur.count()  # cheap: counts the checkpointed blocks
+    prev_edges = cur.count()  # materializes the lazy checkpoint + probes
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
             cur.select(F.col("u").alias("node"))
@@ -6674,7 +6689,7 @@ def q_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionAll(trajectory(r, cur))
         n_edges = cur.count()
