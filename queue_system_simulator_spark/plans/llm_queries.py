@@ -1848,19 +1848,19 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
 def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize pass serves both stages, held as the per-doc ARRAY frame
     # (one row per doc, map-side-distinct — no shingle-string shuffle at
-    # all), eagerly materialized so the plan's independent subtrees read
-    # the cache instead of racing to recompute the tokenize (profiled: the
-    # lazy cache was filled 3× concurrently, ~30 s of duplicated executor
-    # time at sf0.1)
-    arrs = materialize(_shingle_arrays(spark, sf_dir))
-    # signatures reduce the cached arrays' explode — the groupBy sees each
-    # doc's shingles contiguous, so its partial aggregation emits one row
-    # per doc; cached (not materialized: the first consumer fills it from
-    # the warm arrs cache)
+    # all).  LAZILY cached, not materialized: the signature fill right
+    # below consumes arrs EXACTLY ONCE (explode → one groupBy), so that
+    # single job populates the arrs cache as a side effect — one driver
+    # barrier instead of two.  The multi-consumer race the eager fill
+    # guards against (profiled in session 2: a lazy cache filled 3×
+    # concurrently, ~30 s duplicated executor time) cannot occur here
+    # because the racing consumers (sh_a/sh_b below) only run in the
+    # FINAL action, after wide's fill has populated the cache.
+    arrs = _shingle_arrays(spark, sf_dir).cache()
     sh_full = arrs.select("doc_id", F.explode("shings").alias("shingle"))
     # wide feeds the band self-join's two sides: materialize, or the
     # consumers race to recompute it (profiled: three ~3 s band-join
-    # stages for one logical build)
+    # stages for one logical build).  This fill also fills arrs (above).
     wide = materialize(_minhash_wide(spark, sf_dir, sh=sh_full))
     cand = _lsh_candidates(wide)
     # verify: exact |A ∩ B| as a MAP-SIDE set intersection on the per-doc
