@@ -493,35 +493,69 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Work on the WIDE signature frame throughout: the signature-agreement
     # count is 16 column comparisons evaluated inside the candidate join —
     # the long-format double join + regroup of the naive plan never
-    # happens.  One row per doc crosses the shuffle per band; candidates
-    # stay join-on-bucket, never all-pairs.  The frame is one map-side
-    # projection per doc (array minhash), eagerly materialized so the band
-    # self-join's two sides and sa/sb don't race to fill the cache.
-    wide = materialize(_minhash_wide(spark, sf_dir))
-    cand = _lsh_candidates(wide)
-    sa = wide.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(NUM_MINHASH)],
+    # happens.  The 16 signature columns RIDE THROUGH the band self-join
+    # (n_match is computed map-side right after it) instead of being
+    # re-attached by two post-candidate joins: n_match is a function of
+    # the pair, so moving the distinct AFTER the per-band n_match
+    # projection yields the identical one row per pair.  wide now has
+    # exactly one consumer — the band generator — so the eager cache fill
+    # (a driver barrier the r12 driver bench measured as a standalone
+    # regression) is gone.  Self-join economics: at bench scale AQE
+    # broadcasts one band side, so the signature lineage computes twice —
+    # measured cheaper than the fill barrier (r13 paired A/B); at cluster
+    # scale the join is sort-merge, both sides are the identical canonical
+    # shuffle, and ReuseExchange computes it once.  (Guide §2.4: two joins
+    # + a cache fill removed; §2.5: candidates stay join-on-bucket, never
+    # all-pairs.)
+    wide = _minhash_wide(spark, sf_dir)
+    n_bands = NUM_MINHASH // BAND_SIZE
+
+    def band_key(b: int):
+        cols = [
+            F.col(f"mh_{s}") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+        ]
+        return F.md5(F.concat_ws(",", *cols))
+
+    bands = wide.select(
+        "doc_id",
+        *[F.col(f"mh_{s}") for s in range(NUM_MINHASH)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("band_key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        *[F.col(f"mh_{s}") for s in range(NUM_MINHASH)],
+        "bk.band",
+        "bk.band_key",
     )
-    sb = wide.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(NUM_MINHASH)],
-    )
+    a, b = bands.alias("a"), bands.alias("b")
     n_match = sum(
-        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        F.when(F.col(f"a.mh_{s}") == F.col(f"b.mh_{s}"), 1).otherwise(0)
         for s in range(NUM_MINHASH)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_match.cast("long").alias("n_match"),
-            F.round(
-                n_match.cast("double") / NUM_MINHASH, 6
-            ).alias("jaccard_est"),
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_match.cast("long").alias("n_match"),
+            F.round(n_match.cast("double") / NUM_MINHASH, 6).alias(
+                "jaccard_est"
+            ),
+        )
+        .distinct()
     )
 
 
@@ -806,11 +840,24 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sig"),
         )
     )
-    # sig feeds the band self-join (both sides) plus sa/sb — eager fill,
-    # or the four consumers race to recompute the token groupBy
-    sig = materialize(sig)
+    # The 8-byte signature RIDES THROUGH the band self-join instead of
+    # being re-attached by two post-candidate joins (sa/sb): hamming is a
+    # map-side bit_count right after the join, the qualifying filter runs
+    # BEFORE the pair distinct (fewer rows into that exchange — hamming is
+    # a function of the pair, so the distinct result is unchanged), and
+    # sig now has exactly ONE consumer — the band generator — so the eager
+    # cache fill (a driver barrier the r12 driver bench and the r13
+    # same-window A/B both measured as a standalone regression) is gone.
+    # Self-join economics: at bench scale AQE broadcasts one band side, so
+    # the signature groupBy computes twice — measured cheaper than the
+    # fill barrier (r13 paired A/B); at cluster scale the join is
+    # sort-merge, both sides are the identical canonical shuffle, and
+    # ReuseExchange computes the lineage once.  (Guide §2.4 remove
+    # shuffles/joins outright; §2.3 the carried payload is 8 bytes/row,
+    # cheaper than re-attaching it by key at any scale.)
     bands = sig.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -825,26 +872,25 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
+    ).select("doc_id", "sig", "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = (
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long")
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 
@@ -904,7 +950,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side fixpoint probe is one tiny agg per round; superseded edge
     caches are unpersisted immediately, so peak storage is two edge frames.
     """
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # pairs-only consumer: _lsh_candidates emits the same DISTINCT
+    # (doc_a, doc_b) set as minhash_lsh_pairs without computing/carrying
+    # the n_match signature columns through the band join (guide §2.3 —
+    # project before the exchange; no cache/fill barrier — see
+    # q_minhash_lsh_pairs on the self-join economics)
+    pairs = _lsh_candidates(_minhash_wide(spark, sf_dir))
     # canonical direction big → small: (a, b) with a > b.  localCheckpoint
     # (not cache): caching keeps the full logical plan, so every round's
     # plan embeds all previous rounds and Catalyst re-analysis goes
@@ -3944,7 +3995,8 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .cache()
     )
-    cand = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # pairs-only: the candidate set without the carried signature columns
+    cand = _lsh_candidates(_minhash_wide(spark, sf_dir)).cache()
     hit = truth.intersect(cand)
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -5052,7 +5104,9 @@ GROUP BY 1, 2
     "doc->source lookups and aggregates a frame that is already tiny.",
 )
 def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _REGISTRY["minhash_lsh_pairs"].build(spark, sf_dir)
+    # pairs-only consumer (the rollup only counts pairs): the candidate
+    # set without the carried n_match signature columns
+    pairs = _lsh_candidates(_minhash_wide(spark, sf_dir))
     lab = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     a = lab.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
@@ -5356,8 +5410,9 @@ def q_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard"
     )
+    # pairs-only: the candidate set without the carried signature columns
     cand = (
-        q_minhash_lsh_pairs(spark, sf_dir)
+        _lsh_candidates(_minhash_wide(spark, sf_dir))
         .select("doc_a", "doc_b", F.lit(True).alias("is_cand_raw"))
         .cache()
     )
